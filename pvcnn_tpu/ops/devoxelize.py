@@ -1,0 +1,65 @@
+"""Trilinear devoxelization: per-point trilinear interpolation out of a voxel grid.
+
+TPU-native replacement for `trilinear_devoxelize_kernel`
+(reference: modules/functional/src/interpolate/trilinear_devox.cu:21-105). The 8-corner
+gather becomes a batched `take` over the flattened grid; the backward scatter-add of
+w*grad (trilinear_devox.cu:119-162) is exactly the JAX AD transpose of the gather, so
+no custom VJP is required and the result is deterministic.
+
+Edge handling matches the CUDA kernel bit-for-bit: coordinates arrive pre-clamped to
+[0, R-1]; the "hi" corner collapses onto the "lo" corner when the fractional part is
+zero (trilinear_devox.cu:64-75), in which case its weight is zero anyway.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["trilinear_devoxelize"]
+
+
+def trilinear_devoxelize(grid: jnp.ndarray, norm_coords: jnp.ndarray, resolution: int):
+    """Interpolate voxel features back to points.
+
+    Args:
+      grid:        [B, R, R, R, C] voxel features.
+      norm_coords: [B, N, 3] float grid coordinates in [0, R-1] (from
+                   `normalize_coords`).
+      resolution:  R.
+
+    Returns:
+      [B, N, C] per-point features.
+    """
+    b, r, _, _, c = grid.shape
+    assert r == int(resolution)
+    n = norm_coords.shape[1]
+    flat = grid.reshape(b, r * r * r, c)
+
+    lo_f = jnp.floor(norm_coords)
+    frac = norm_coords - lo_f          # [B, N, 3] in [0, 1)
+    lo = lo_f.astype(jnp.int32)
+    # hi collapses to lo when frac == 0 (covers the x == R-1 boundary: frac is 0 there)
+    hi = lo + (frac > 0).astype(jnp.int32)
+
+    x0, y0, z0 = lo[..., 0], lo[..., 1], lo[..., 2]
+    x1, y1, z1 = hi[..., 0], hi[..., 1], hi[..., 2]
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+    gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
+
+    r2 = r * r
+
+    def take(xi, yi, zi):
+        idx = xi * r2 + yi * r + zi                      # [B, N]
+        return jnp.take_along_axis(flat, idx[..., None], axis=1)  # [B, N, C]
+
+    out = (
+        take(x0, y0, z0) * (gx * gy * gz)[..., None]
+        + take(x0, y0, z1) * (gx * gy * fz)[..., None]
+        + take(x0, y1, z0) * (gx * fy * gz)[..., None]
+        + take(x0, y1, z1) * (gx * fy * fz)[..., None]
+        + take(x1, y0, z0) * (fx * gy * gz)[..., None]
+        + take(x1, y0, z1) * (fx * gy * fz)[..., None]
+        + take(x1, y1, z0) * (fx * fy * gz)[..., None]
+        + take(x1, y1, z1) * (fx * fy * fz)[..., None]
+    )
+    return out

@@ -1,0 +1,91 @@
+"""Pallas TPU kernel for furthest point sampling.
+
+FPS is the one inherently sequential op in the stack (M dependent argmax steps,
+reference: modules/functional/src/sampling/sampling.cu:86-174). A plain
+`lax.fori_loop` forces XLA to round-trip the [N] min-distance vector through HBM every
+step; this kernel keeps the coords (as x/y/z lane vectors) and the running
+min-distance entirely in VMEM for the whole M-step loop, one grid step per batch
+element.
+
+Semantics match the CUDA kernel: seed index 0, distances start at 1e38,
+min-distance update per step, argmax with ties broken toward the lower index (the
+kernel's strict `>` scan order).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fps_indices_pallas", "pallas_fps_supported"]
+
+
+def _interpret() -> bool:
+    return os.environ.get("PVCNN_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
+def pallas_fps_supported(n: int) -> bool:
+    """Use the Pallas kernel on real TPUs (or under forced interpret mode for tests).
+
+    VMEM budget: 4 f32 lane-vectors of length N (x, y, z, min_d2) must fit — trivially
+    true for every config in this framework (N <= 32768 -> ~0.5 MB).
+    """
+    if n > 262144:
+        return False
+    if _interpret():
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _fps_kernel(coords_ref, out_ref, min_d2):
+    # coords_ref: [1, 3, N] f32 (VMEM), out_ref: [1, M] int32, min_d2: [1, N] scratch
+    n = coords_ref.shape[2]
+    m = out_ref.shape[1]
+    xs = coords_ref[0, 0:1, :]
+    ys = coords_ref[0, 1:2, :]
+    zs = coords_ref[0, 2:3, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    lane_m = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+
+    min_d2[:, :] = jnp.full((1, n), 1e38, dtype=jnp.float32)
+    out_ref[:, :] = jnp.zeros((1, m), dtype=jnp.int32)
+
+    def body(j, last):
+        sel = lane == last
+        x1 = jnp.sum(jnp.where(sel, xs, 0.0))
+        y1 = jnp.sum(jnp.where(sel, ys, 0.0))
+        z1 = jnp.sum(jnp.where(sel, zs, 0.0))
+        d2 = (xs - x1) ** 2 + (ys - y1) ** 2 + (zs - z1) ** 2
+        nd = jnp.minimum(min_d2[:, :], d2)
+        min_d2[:, :] = nd
+        best = jnp.max(nd)
+        # first lane attaining the max == CUDA tie-break toward the lower index
+        nxt = jnp.min(jnp.where(nd == best, lane, n)).astype(jnp.int32)
+        out_ref[:, :] = jnp.where(lane_m == j, nxt, out_ref[:, :])
+        return nxt
+
+    jax.lax.fori_loop(1, m, body, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def fps_indices_pallas(coords: jnp.ndarray, num_samples: int):
+    """coords [B, N, 3] float -> FPS indices [B, M] int32."""
+    b, n, _ = coords.shape
+    coords_t = jnp.transpose(coords, (0, 2, 1)).astype(jnp.float32)  # [B, 3, N]
+    return pl.pallas_call(
+        _fps_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, num_samples), jnp.int32),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 3, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((1, num_samples), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, n), jnp.float32)],
+        interpret=_interpret(),
+    )(coords_t)

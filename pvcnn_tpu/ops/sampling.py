@@ -1,0 +1,109 @@
+"""Furthest point sampling, feature gathering, and logits-based foreground masking.
+
+TPU-native replacements for the reference CUDA/host ops:
+  * `furthest_point_sampling_kernel`
+    (modules/functional/src/sampling/sampling.cu:86-174): seeds index 0, keeps a
+    running min-distance-to-set per point, and picks the argmax each of M steps. The
+    M-step sequential loop is expressed as a `lax.fori_loop` (a Pallas variant lives in
+    ops/pallas/fps.py and is used automatically on TPU); argmax breaks ties toward the
+    lower index like the CUDA strict `>` scan.
+  * `gather_features_kernel` (sampling.cu:17-74): a pure gather; the atomicAdd
+    backward is its AD transpose.
+  * `logits_mask` (modules/functional/sampling.py:51-84): the reference runs a
+    per-example Python loop with np.random.choice on the host — the single op worth
+    redesigning. We reformulate it as a fully on-device, jittable masked sampler:
+    candidates are randomly permuted via sort-by-random-key, then selected round-robin
+    (index j -> perm[j mod count]), which reproduces the reference's
+    sample-without-replacement (count >= M) and repeat+shuffle (count < M) behavior in
+    distribution.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["furthest_point_sample", "furthest_point_sample_indices", "gather",
+           "logits_mask"]
+
+
+def _fps_single(coords: jnp.ndarray, num_samples: int):
+    """coords [N, 3] -> indices [M] int32. Mirrors sampling.cu:104-166."""
+    n = coords.shape[0]
+
+    def body(j, state):
+        indices, min_d2, last = state
+        d2 = jnp.sum((coords - coords[last]) ** 2, axis=-1)
+        min_d2 = jnp.minimum(min_d2, d2)
+        nxt = jnp.argmax(min_d2).astype(jnp.int32)
+        indices = indices.at[j].set(nxt)
+        return indices, min_d2, nxt
+
+    indices0 = jnp.zeros((num_samples,), dtype=jnp.int32)
+    min_d2_0 = jnp.full((n,), 1e38, dtype=jnp.float32)
+    indices, _, _ = jax.lax.fori_loop(
+        1, num_samples, body, (indices0, min_d2_0, jnp.int32(0))
+    )
+    return indices
+
+
+def furthest_point_sample_indices(coords: jnp.ndarray, num_samples: int):
+    """coords [B, N, 3] -> int32 indices [B, M] of the FPS-selected centers."""
+    from pvcnn_tpu.ops.pallas.fps import fps_indices_pallas, pallas_fps_supported
+
+    if pallas_fps_supported(coords.shape[1]):
+        return fps_indices_pallas(coords, int(num_samples))
+    return jax.vmap(lambda c: _fps_single(c, int(num_samples)))(coords)
+
+
+def gather(features: jnp.ndarray, indices: jnp.ndarray):
+    """features [B, N, C], indices [B, M] -> [B, M, C]."""
+    return jnp.take_along_axis(features, indices[..., None].astype(jnp.int32), axis=1)
+
+
+def furthest_point_sample(coords: jnp.ndarray, num_samples: int):
+    """coords [B, N, 3] -> [B, M, 3] coords of FPS centers
+    (modules/functional/sampling.py:37-48)."""
+    idx = furthest_point_sample_indices(jax.lax.stop_gradient(coords), num_samples)
+    return gather(coords, idx)
+
+
+def logits_mask(coords: jnp.ndarray, logits: jnp.ndarray, num_points_per_object: int,
+                rng: jax.Array):
+    """Foreground point resampling driven by binary segmentation logits.
+
+    Args:
+      coords: [B, N, 3] float point coords.
+      logits: [B, N, 2] binary classification logits (channel-last; the reference uses
+              [B, 2, N]).
+      num_points_per_object: M, fixed number of points kept per example.
+      rng: PRNG key for the random subset selection.
+
+    Returns:
+      selected_coords:    [B, M, 3] — foreground coords, mean-centered.
+      masked_coords_mean: [B, 3]    — mean of the foreground coords.
+      mask:               [B, N] bool — the foreground mask itself.
+    """
+    b, n, _ = coords.shape
+    m = int(num_points_per_object)
+    mask = logits[..., 0] < logits[..., 1]                        # [B, N]
+    maskf = mask.astype(coords.dtype)
+    num_candidates = jnp.sum(mask, axis=-1)                       # [B]
+    masked_coords = coords * maskf[..., None]
+    masked_coords_mean = jnp.sum(masked_coords, axis=1) / jnp.maximum(
+        num_candidates, 1
+    ).astype(coords.dtype)[:, None]                               # [B, 3]
+
+    # random permutation of candidate indices, candidates first:
+    # sort key = random uniform for candidates, +1 shift for non-candidates
+    u = jax.random.uniform(rng, (b, n))
+    key = jnp.where(mask, u, u + 2.0)
+    order = jnp.argsort(key, axis=-1).astype(jnp.int32)           # [B, N]
+    cnt = jnp.maximum(num_candidates, 1).astype(jnp.int32)        # avoid mod-by-zero
+    j = jax.lax.broadcasted_iota(jnp.int32, (b, m), 1)
+    selected_indices = jnp.take_along_axis(order, j % cnt[:, None], axis=1)  # [B, M]
+
+    selected_coords = gather(
+        masked_coords - masked_coords_mean[:, None, :], selected_indices
+    )
+    return selected_coords, masked_coords_mean, mask

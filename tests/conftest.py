@@ -1,0 +1,23 @@
+"""Test harness: force CPU with 8 virtual devices so sharding tests run anywhere.
+
+Must run before the first `import jax` anywhere in the test session.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# exercise the Pallas kernels in interpret mode on CPU
+os.environ.setdefault("PVCNN_TPU_PALLAS_INTERPRET", "1")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)

@@ -1,0 +1,256 @@
+"""Unit tests: each pvcnn_tpu op vs. the numpy oracle of the reference CUDA kernel,
+plus gradient checks against JAX numerical grads where the reference has a backward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracles
+from pvcnn_tpu import ops
+
+
+def rand_coords(rng, b, n, scale=1.0):
+    return rng.randn(b, n, 3).astype(np.float32) * scale
+
+
+class TestAvgVoxelize:
+    def test_matches_oracle(self, rng):
+        b, n, c, r = 2, 64, 5, 4
+        feats = rng.randn(b, n, c).astype(np.float32)
+        vc = rng.randint(0, r, size=(b, n, 3)).astype(np.int32)
+        got = np.asarray(ops.avg_voxelize(jnp.asarray(feats), jnp.asarray(vc), r))
+        want = oracles.avg_voxelize(feats, vc, r)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_grad_matches_reference_backward(self, rng):
+        # reference backward: grad_x[i] = grad_y[voxel(i)] / count(voxel(i))
+        # (vox.cu:86-110); JAX AD of segment-mean must reproduce it.
+        b, n, c, r = 1, 16, 3, 2
+        feats = rng.randn(b, n, c).astype(np.float32)
+        vc = rng.randint(0, r, size=(b, n, 3)).astype(np.int32)
+        g = rng.randn(b, r, r, r, c).astype(np.float32)
+
+        def f(x):
+            return jnp.sum(ops.avg_voxelize(x, jnp.asarray(vc), r) * jnp.asarray(g))
+
+        grad = np.asarray(jax.grad(f)(jnp.asarray(feats)))
+        flat_idx = vc[..., 0] * r * r + vc[..., 1] * r + vc[..., 2]
+        cnt = np.zeros((b, r ** 3))
+        for bi in range(b):
+            for i in range(n):
+                cnt[bi, flat_idx[bi, i]] += 1
+        want = np.zeros_like(feats)
+        gflat = g.reshape(b, r ** 3, c)
+        for bi in range(b):
+            for i in range(n):
+                want[bi, i] = gflat[bi, flat_idx[bi, i]] / cnt[bi, flat_idx[bi, i]]
+        np.testing.assert_allclose(grad, want, rtol=1e-5, atol=1e-5)
+
+
+class TestNormalizeCoords:
+    @pytest.mark.parametrize("normalize", [True, False])
+    def test_ranges(self, rng, normalize):
+        coords = rand_coords(rng, 2, 128, scale=0.4)
+        r = 8
+        vc, nc = ops.normalize_coords(jnp.asarray(coords), r, normalize=normalize)
+        vc, nc = np.asarray(vc), np.asarray(nc)
+        assert vc.min() >= 0 and vc.max() <= r - 1
+        assert nc.min() >= 0 and nc.max() <= r - 1
+        np.testing.assert_array_equal(vc, np.round(nc).astype(np.int32))
+
+    def test_normalized_centering(self, rng):
+        coords = rand_coords(rng, 2, 64)
+        _, nc = ops.normalize_coords(jnp.asarray(coords), 8, normalize=True)
+        # mean-centered + scaled to [0,0.5+0.5] then *R: center lands at R/2
+        np.testing.assert_allclose(np.asarray(nc).mean(1), 4.0, atol=1.0)
+
+
+class TestTrilinearDevoxelize:
+    def test_matches_oracle(self, rng):
+        b, n, c, r = 2, 32, 4, 4
+        grid = rng.randn(b, r, r, r, c).astype(np.float32)
+        nc = rng.uniform(0, r - 1, size=(b, n, 3)).astype(np.float32)
+        # include exact-boundary and exact-integer coords
+        nc[0, 0] = [r - 1, r - 1, r - 1]
+        nc[0, 1] = [0, 0, 0]
+        nc[0, 2] = [1.0, 2.0, 1.5]
+        got = np.asarray(ops.trilinear_devoxelize(jnp.asarray(grid), jnp.asarray(nc), r))
+        want = oracles.trilinear_devoxelize(grid, nc)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_grad_is_scatter_of_weights(self, rng):
+        b, n, c, r = 1, 8, 2, 3
+        grid = rng.randn(b, r, r, r, c).astype(np.float32)
+        nc = rng.uniform(0, r - 1, size=(b, n, 3)).astype(np.float32)
+
+        def f(x):
+            return jnp.sum(ops.trilinear_devoxelize(x, jnp.asarray(nc), r) ** 2)
+
+        num = _numerical_grad(f, grid)
+        ana = np.asarray(jax.grad(f)(jnp.asarray(grid)))
+        np.testing.assert_allclose(ana, num, rtol=1e-2, atol=1e-2)
+
+
+class TestBallQuery:
+    def test_matches_oracle(self, rng):
+        b, n, m, u = 2, 128, 16, 8
+        points = rand_coords(rng, b, n, scale=0.5)
+        centers = points[:, :m].copy()
+        got = np.asarray(ops.ball_query(jnp.asarray(centers), jnp.asarray(points),
+                                        0.4, u))
+        want = oracles.ball_query(centers, points, 0.4, u)
+        np.testing.assert_array_equal(got, want)
+
+    def test_no_neighbors_gives_zeros(self, rng):
+        points = rand_coords(rng, 1, 32, scale=0.1)
+        centers = np.full((1, 4, 3), 100.0, dtype=np.float32)
+        got = np.asarray(ops.ball_query(jnp.asarray(centers), jnp.asarray(points),
+                                        0.1, 5))
+        np.testing.assert_array_equal(got, 0)
+
+    def test_short_list_repeats_first_hit(self, rng):
+        # one center with exactly two hits, U = 4 -> [h0, h1, h0, h0]
+        points = np.full((1, 8, 3), 50.0, dtype=np.float32)
+        points[0, 3] = [0.0, 0.0, 0.0]
+        points[0, 6] = [0.05, 0.0, 0.0]
+        centers = np.zeros((1, 1, 3), dtype=np.float32)
+        got = np.asarray(ops.ball_query(jnp.asarray(centers), jnp.asarray(points),
+                                        0.2, 4))
+        np.testing.assert_array_equal(got[0, 0], [3, 6, 3, 3])
+
+
+class TestGrouping:
+    def test_gather_shape_and_values(self, rng):
+        b, n, c, m, u = 2, 32, 6, 5, 3
+        feats = rng.randn(b, n, c).astype(np.float32)
+        idx = rng.randint(0, n, size=(b, m, u)).astype(np.int32)
+        got = np.asarray(ops.grouping(jnp.asarray(feats), jnp.asarray(idx)))
+        for bi in range(b):
+            for mi in range(m):
+                for ui in range(u):
+                    np.testing.assert_array_equal(got[bi, mi, ui],
+                                                  feats[bi, idx[bi, mi, ui]])
+
+
+class TestThreeNN:
+    def test_matches_oracle(self, rng):
+        b, n, m = 2, 64, 17
+        points = rand_coords(rng, b, n)
+        centers = rand_coords(rng, b, m)
+        gi, gw = ops.three_nn(jnp.asarray(points), jnp.asarray(centers))
+        wi, ww = oracles.three_nn(points, centers)
+        np.testing.assert_array_equal(np.asarray(gi), wi)
+        np.testing.assert_allclose(np.asarray(gw), ww, rtol=1e-4, atol=1e-6)
+
+    def test_interpolate_and_grad(self, rng):
+        b, n, m, c = 1, 16, 7, 4
+        points = rand_coords(rng, b, n)
+        centers = rand_coords(rng, b, m)
+        feats = rng.randn(b, m, c).astype(np.float32)
+
+        def f(x):
+            return jnp.sum(
+                ops.nearest_neighbor_interpolate(
+                    jnp.asarray(points), jnp.asarray(centers), x) ** 2)
+
+        num = _numerical_grad(f, feats)
+        ana = np.asarray(jax.grad(f)(jnp.asarray(feats)))
+        np.testing.assert_allclose(ana, num, rtol=1e-2, atol=1e-2)
+
+
+class TestFPS:
+    def test_matches_oracle_xla_path(self, rng):
+        import pvcnn_tpu.ops.sampling as S
+        b, n, m = 2, 100, 17
+        coords = rand_coords(rng, b, n)
+        got = np.asarray(jax.vmap(lambda c: S._fps_single(c, m))(jnp.asarray(coords)))
+        want = oracles.furthest_point_sample_indices(coords, m)
+        np.testing.assert_array_equal(got, want)
+
+    def test_pallas_matches_oracle(self, rng):
+        b, n, m = 2, 128, 16
+        coords = rand_coords(rng, b, n)
+        got = np.asarray(ops.furthest_point_sample_indices(jnp.asarray(coords), m))
+        want = oracles.furthest_point_sample_indices(coords, m)
+        np.testing.assert_array_equal(got, want)
+
+    def test_returns_coords(self, rng):
+        coords = rand_coords(rng, 1, 64)
+        out = np.asarray(ops.furthest_point_sample(jnp.asarray(coords), 8))
+        idx = oracles.furthest_point_sample_indices(coords, 8)
+        np.testing.assert_allclose(out[0], coords[0, idx[0]], rtol=1e-6)
+
+
+class TestLogitsMask:
+    def test_selects_only_foreground(self, rng):
+        b, n, m = 2, 64, 16
+        coords = rand_coords(rng, b, n)
+        logits = rng.randn(b, n, 2).astype(np.float32)
+        sel, mean, mask = ops.logits_mask(jnp.asarray(coords), jnp.asarray(logits), m,
+                                          jax.random.PRNGKey(0))
+        sel, mean, mask = np.asarray(sel), np.asarray(mean), np.asarray(mask)
+        want_mask = logits[..., 0] < logits[..., 1]
+        np.testing.assert_array_equal(mask, want_mask)
+        for bi in range(b):
+            fg = coords[bi][want_mask[bi]]
+            want_mean = fg.mean(0) if len(fg) else np.zeros(3)
+            np.testing.assert_allclose(mean[bi], want_mean, rtol=1e-4, atol=1e-5)
+            # every selected point must be a centered foreground point
+            centered = fg - want_mean
+            for j in range(m):
+                d = np.abs(centered - sel[bi, j]).sum(-1).min() if len(fg) else np.abs(sel[bi, j]).sum()
+                assert d < 1e-4
+
+    def test_without_replacement_when_enough(self, rng):
+        # all points foreground, N == M -> a permutation of all points
+        b, n = 1, 16
+        coords = rand_coords(rng, b, n)
+        logits = np.zeros((b, n, 2), dtype=np.float32)
+        logits[..., 1] = 1.0
+        sel, mean, _ = ops.logits_mask(jnp.asarray(coords), jnp.asarray(logits), n,
+                                       jax.random.PRNGKey(1))
+        sel = np.asarray(sel) + np.asarray(mean)[:, None, :]
+        got = np.sort(sel[0], axis=0)
+        want = np.sort(coords[0], axis=0)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestLosses:
+    def test_huber(self, rng):
+        err = rng.randn(40).astype(np.float32) * 3
+        got = float(ops.huber_loss(jnp.asarray(err), 2.0))
+        a = np.abs(err)
+        q = np.minimum(a, 2.0)
+        want = float(np.mean(0.5 * q ** 2 + 2.0 * (a - q)))
+        assert abs(got - want) < 1e-5
+
+    def test_kl_nonnegative_and_zero_at_equal(self, rng):
+        x = rng.randn(4, 7).astype(np.float32)
+        assert float(ops.kl_loss(jnp.asarray(x), jnp.asarray(x))) < 1e-4
+        y = rng.randn(4, 7).astype(np.float32)
+        assert float(ops.kl_loss(jnp.asarray(x), jnp.asarray(y))) > 0
+
+    def test_cross_entropy_matches_manual(self, rng):
+        logits = rng.randn(8, 5).astype(np.float32)
+        labels = rng.randint(0, 5, size=(8,))
+        got = float(ops.cross_entropy(jnp.asarray(logits), jnp.asarray(labels)))
+        p = np.exp(logits - logits.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        want = float(np.mean(-np.log(p[np.arange(8), labels])))
+        assert abs(got - want) < 1e-5
+
+
+def _numerical_grad(f, x, eps=1e-3):
+    g = np.zeros_like(x)
+    flat = x.reshape(-1)
+    gflat = g.reshape(-1)
+    for i in range(flat.size):
+        orig = flat[i]
+        flat[i] = orig + eps
+        fp = float(f(jnp.asarray(x)))
+        flat[i] = orig - eps
+        fm = float(f(jnp.asarray(x)))
+        flat[i] = orig
+        gflat[i] = (fp - fm) / (2 * eps)
+    return g
