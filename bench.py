@@ -1,0 +1,76 @@
+"""Throughput benchmark: ShapeNet PVCNN 0.25xC training points/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference repo publishes no throughput numbers (SURVEY.md §6), so
+`vs_baseline` is measured against a fixed documented proxy: 1.0e6 points/sec for
+the reference CUDA implementation of this config on an A100-class device (order-of
+-magnitude estimate from the paper's GTX1080Ti latencies scaled by generational
+speedups). The proxy is a constant so the ratio is comparable across rounds;
+BASELINE.json's target of >=5x A100-equivalent corresponds to vs_baseline >= 5.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+PROXY_BASELINE_POINTS_PER_SEC = 1.0e6
+
+BATCH = 32
+NUM_POINTS = 2048
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    import jax
+
+    from pvcnn_tpu.models.shapenet import PVCNN
+    from pvcnn_tpu.nn.loss import CrossEntropyLoss
+    from pvcnn_tpu.train.optim import Adam
+    from pvcnn_tpu.train.trainer import Trainer
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = None  # params fp32; XLA uses MXU-friendly layouts either way
+
+    model = PVCNN(num_classes=50, num_shapes=16, extra_feature_channels=3,
+                  width_multiplier=0.25, dtype=dtype)
+    tx, _ = Adam(1e-3)
+    trainer = Trainer(model, CrossEntropyLoss(), tx)
+
+    rng = np.random.RandomState(0)
+    inputs = rng.randn(BATCH, NUM_POINTS, 6 + 16).astype(np.float32)
+    labels = rng.randint(0, 50, size=(BATCH, NUM_POINTS))
+
+    state = trainer.init_state(inputs[:1])
+    from pvcnn_tpu.parallel import mesh as pmesh
+
+    batch = pmesh.shard_batch((inputs, labels), trainer.mesh)
+    key = jax.random.PRNGKey(0)
+
+    for _ in range(WARMUP):
+        state, loss = trainer._train_step(state, batch, key)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, loss = trainer._train_step(state, batch, key)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    n_chips = max(trainer.num_devices, 1)
+    points_per_sec_per_chip = BATCH * NUM_POINTS * ITERS / dt / n_chips
+    print(json.dumps({
+        "metric": "shapenet_pvcnn_0p25_train_points_per_sec_per_chip",
+        "value": round(points_per_sec_per_chip, 1),
+        "unit": "points/sec/chip",
+        "vs_baseline": round(points_per_sec_per_chip
+                             / PROXY_BASELINE_POINTS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

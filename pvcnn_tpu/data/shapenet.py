@@ -1,0 +1,109 @@
+"""ShapeNet part-segmentation dataset (reference: datasets/shapenet.py:10-115).
+
+Same on-disk format (per-shape txt point files + shuffled split JSONs), same
+resampling/jitter/normalization pipeline; samples come out channel-LAST
+([num_points, C] features, [num_points] labels), C = 3 coords (+3 normals)
+(+16 one-hot shape id).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+__all__ = ["ShapeNet"]
+
+
+class _ShapeNetDataset:
+    num_shapes = 16
+    num_classes = 50
+
+    def __init__(self, root, num_points, split="train", with_normal=True,
+                 with_one_hot_shape_id=True, normalize=True, jitter=True):
+        assert split in ("train", "test")
+        self.root = root
+        self.num_points = num_points
+        self.split = split
+        self.with_normal = with_normal
+        self.with_one_hot_shape_id = with_one_hot_shape_id
+        self.normalize = normalize
+        self.jitter = jitter
+
+        shape_dir_to_shape_id = {}
+        with open(os.path.join(root, "synsetoffset2category.txt")) as f:
+            for shape_id, line in enumerate(f):
+                _, shape_dir = line.strip().split()
+                shape_dir_to_shape_id[shape_dir] = shape_id
+
+        splits = ["train", "val"] if split == "train" else ["test"]
+        file_paths = []
+        for s in splits:
+            list_path = os.path.join(root, "train_test_split",
+                                     f"shuffled_{s}_file_list.json")
+            with open(list_path) as f:
+                for file_path in json.load(f):
+                    _, shape_dir, filename = file_path.split("/")
+                    file_paths.append((os.path.join(root, shape_dir,
+                                                    filename + ".txt"),
+                                       shape_dir_to_shape_id[shape_dir]))
+        self.file_paths = file_paths
+        self.cache = {}
+        self.cache_size = 20000
+
+    def __len__(self):
+        return len(self.file_paths)
+
+    def __getitem__(self, index):
+        if index in self.cache:
+            coords, normal, label, shape_id = self.cache[index]
+        else:
+            file_path, shape_id = self.file_paths[index]
+            data = np.loadtxt(file_path).astype(np.float32)
+            coords = data[:, :3]
+            if self.normalize:
+                coords = self.normalize_point_cloud(coords)
+            normal = data[:, 3:6]
+            label = data[:, -1].astype(np.int64)
+            if len(self.cache) < self.cache_size:
+                self.cache[index] = (coords, normal, label, shape_id)
+
+        choice = np.random.choice(label.shape[0], self.num_points, replace=True)
+        coords = coords[choice]
+        if self.jitter:
+            coords = self.jitter_point_cloud(coords)
+        columns = [coords]
+        if self.with_normal:
+            columns.append(normal[choice])
+        if self.with_one_hot_shape_id:
+            one_hot = np.zeros((self.num_points, self.num_shapes), dtype=np.float32)
+            one_hot[:, shape_id] = 1.0
+            columns.append(one_hot)
+        features = np.concatenate(columns, axis=-1).astype(np.float32)
+        return features, label[choice]
+
+    @staticmethod
+    def normalize_point_cloud(points):
+        points = points - points.mean(axis=0)
+        return points / np.max(np.linalg.norm(points, axis=1))
+
+    @staticmethod
+    def jitter_point_cloud(points, sigma=0.01, clip=0.05):
+        noise = np.clip(sigma * np.random.randn(*points.shape), -clip, clip)
+        return (points + noise).astype(np.float32)
+
+
+class ShapeNet(dict):
+    def __init__(self, root, num_points, split=None, with_normal=True,
+                 with_one_hot_shape_id=True, normalize=True, jitter=True):
+        super().__init__()
+        if split is None:
+            split = ["train", "test"]
+        elif not isinstance(split, (list, tuple)):
+            split = [split]
+        for s in split:
+            self[s] = _ShapeNetDataset(
+                root=root, num_points=num_points, split=s, with_normal=with_normal,
+                with_one_hot_shape_id=with_one_hot_shape_id, normalize=normalize,
+                jitter=jitter if s == "train" else False)

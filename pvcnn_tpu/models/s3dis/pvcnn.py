@@ -1,0 +1,61 @@
+"""PVCNN for S3DIS semantic segmentation (reference: models/s3dis/pvcnn.py:10-48)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pvcnn_tpu.models.utils import (apply_layers, create_mlp_components,
+                                    create_pointnet_components)
+from pvcnn_tpu.nn import PVConv
+
+__all__ = ["PVCNN"]
+
+
+class PVCNN(nn.Module):
+    num_classes: int
+    extra_feature_channels: int = 6
+    width_multiplier: float = 1
+    voxel_resolution_multiplier: float = 1
+    dtype: Optional[jnp.dtype] = None
+
+    blocks = ((64, 1, 32), (64, 2, 16), (128, 1, 16), (1024, 1, None))
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        if isinstance(inputs, dict):
+            inputs = inputs["features"]
+        in_channels = self.extra_feature_channels + 3
+        coords = inputs[..., :3]
+        num_points = inputs.shape[1]
+
+        point_layers, channels_point, concat_channels_point = \
+            create_pointnet_components(
+                blocks=self.blocks, in_channels=in_channels, with_se=False,
+                width_multiplier=self.width_multiplier,
+                voxel_resolution_multiplier=self.voxel_resolution_multiplier,
+                dtype=self.dtype)
+
+        features = inputs
+        out_features_list = []
+        for layer in point_layers:
+            if isinstance(layer, PVConv):
+                features, _ = layer(features, coords, train=train)
+            else:
+                features = layer(features, train=train)
+            out_features_list.append(features)
+
+        cloud_layers, channels_cloud = create_mlp_components(
+            in_channels=channels_point, out_channels=[256, 128], classifier=False,
+            dim=1, width_multiplier=self.width_multiplier, dtype=self.dtype)
+        cloud = apply_layers(cloud_layers, jnp.max(features, axis=1), train=train)
+        out_features_list.append(jnp.tile(cloud[:, None, :], (1, num_points, 1)))
+
+        classifier, _ = create_mlp_components(
+            in_channels=concat_channels_point + channels_cloud,
+            out_channels=[512, 0.3, 256, 0.3, self.num_classes], classifier=True,
+            dim=2, width_multiplier=self.width_multiplier, dtype=self.dtype)
+        return apply_layers(classifier, jnp.concatenate(out_features_list, axis=-1),
+                            train=train)

@@ -1,0 +1,89 @@
+"""PVConv: the point-voxel convolution block, plus Voxelization and SE3d.
+
+Reference: modules/pvconv.py:11-39, modules/voxelization.py:9-28, modules/se.py:6-17.
+
+TPU design notes:
+  * The voxel branch (two 3x3x3 Conv3D + BN + LeakyReLU) carries nearly all the
+    FLOPs; we run it channel-last ([B, R, R, R, C], NDHWC) which is XLA:TPU's
+    preferred conv layout, so the MXU sees well-tiled convolutions.
+  * Voxelization's scatter-mean and the trilinear gather are dense fixed-shape XLA
+    ops (see ops/voxelize.py, ops/devoxelize.py) and fuse into the same jit region —
+    there is no Python/host boundary inside the block, unlike the reference's
+    per-op CUDA launches.
+  * BatchNorm3d uses eps=1e-4 exactly as the reference (pvconv.py:22,25).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pvcnn_tpu import ops
+from pvcnn_tpu.nn.shared_mlp import BatchNorm, SharedMLP
+
+__all__ = ["Voxelization", "SE3d", "PVConv"]
+
+
+class Voxelization(nn.Module):
+    resolution: int
+    normalize: bool = True
+    eps: float = 0.0
+
+    def __call__(self, features, coords):
+        """features [B, N, C], coords [B, N, 3] ->
+        (voxel grid [B, R, R, R, C], norm_coords [B, N, 3])."""
+        vox_coords, norm_coords = ops.normalize_coords(
+            coords, self.resolution, normalize=self.normalize, eps=self.eps
+        )
+        return ops.avg_voxelize(features, vox_coords, self.resolution), norm_coords
+
+
+class SE3d(nn.Module):
+    """Squeeze-and-excitation over the voxel grid (modules/se.py:6-17)."""
+
+    channels: int
+    reduction: int = 8
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, R, R, R, C]
+        squeezed = jnp.mean(x, axis=(1, 2, 3))  # [B, C]
+        h = nn.Dense(self.channels // self.reduction, use_bias=False,
+                     dtype=self.dtype)(squeezed)
+        h = nn.relu(h)
+        h = nn.Dense(self.channels, use_bias=False, dtype=self.dtype)(h)
+        scale = nn.sigmoid(h)
+        return x * scale[:, None, None, None, :]
+
+
+class PVConv(nn.Module):
+    out_channels: int
+    kernel_size: int = 3
+    resolution: int = 32
+    with_se: bool = False
+    normalize: bool = True
+    eps: float = 0.0
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, features, coords, train: bool = False):
+        """features [B, N, C], coords [B, N, 3] -> (fused [B, N, C'], coords)."""
+        grid, norm_coords = Voxelization(
+            self.resolution, normalize=self.normalize, eps=self.eps
+        )(features, coords)
+
+        k = int(self.kernel_size)
+        for _ in range(2):
+            grid = nn.Conv(self.out_channels, (k, k, k), padding=k // 2,
+                           dtype=self.dtype)(grid)
+            grid = BatchNorm(epsilon=1e-4, dtype=self.dtype)(grid, train=train)
+            grid = nn.leaky_relu(grid, negative_slope=0.1)
+        if self.with_se:
+            grid = SE3d(self.out_channels, dtype=self.dtype)(grid)
+
+        voxel_features = ops.trilinear_devoxelize(grid, norm_coords, self.resolution)
+        point_features = SharedMLP([self.out_channels], dtype=self.dtype)(
+            features, train=train
+        )
+        return voxel_features + point_features, coords

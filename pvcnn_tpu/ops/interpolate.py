@@ -23,8 +23,18 @@ __all__ = ["nearest_neighbor_interpolate", "three_nn"]
 
 def _three_nn_single(points: jnp.ndarray, centers: jnp.ndarray):
     """points [N, 3], centers [M, 3] -> (indices [N, 3] int32, weights [N, 3])."""
+    m = centers.shape[0]
     d2 = jnp.sum((points[:, None, :] - centers[None, :, :]) ** 2, axis=-1)  # [N, M]
-    neg_top, idx = jax.lax.top_k(-d2, 3)
+    if m < 3:
+        # mirror the CUDA insertion cascade defaults when there are fewer than 3
+        # centers: unfilled slots keep index 0 and distance 1e40 (clamped to 1e10
+        # below), neighbor_interpolate.cu:38-40
+        neg_top, idx = jax.lax.top_k(-d2, m)
+        pad_n = 3 - m
+        neg_top = jnp.pad(neg_top, ((0, 0), (0, pad_n)), constant_values=-1e40)
+        idx = jnp.pad(idx, ((0, 0), (0, pad_n)), constant_values=0)
+    else:
+        neg_top, idx = jax.lax.top_k(-d2, 3)
     best = jnp.clip(-neg_top, 1e-10, 1e10)                                   # [N, 3]
     d0, d1, d2_ = best[:, 0], best[:, 1], best[:, 2]
     denom = d0 * d1 + d0 * d2_ + d1 * d2_

@@ -1,0 +1,62 @@
+"""Device mesh + batch sharding: the TPU-native replacement for the reference's
+`torch.nn.DataParallel` (reference: train.py:180-182).
+
+One jit region, batch axis sharded over a 1-D `data` mesh; XLA inserts the psum
+gradient reduction over ICI automatically. The mesh helper takes any device count so
+the same code runs on a real TPU slice or on N virtual CPU devices
+(`--xla_force_host_platform_device_count`), which is how multi-chip behavior is
+tested without a cluster. A second (currently trivial) `model` axis is left open for
+tensor-parallel sharding of future large variants.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch",
+           "pad_batch", "unpad"]
+
+
+def make_mesh(num_devices: Optional[int] = None, model_axis: int = 1) -> Mesh:
+    devices = jax.devices()
+    n = len(devices) if num_devices is None else num_devices
+    assert n % model_axis == 0
+    mesh_devices = np.asarray(devices[:n]).reshape(n // model_axis, model_axis)
+    return Mesh(mesh_devices, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh):
+    """Device-put every array leaf with its leading axis split over `data`."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def pad_batch(batch: Any, multiple: int):
+    """Pad the leading axis up to a multiple (for sharded eval on partial batches).
+
+    Returns (padded_batch, true_batch_size)."""
+    leaves = jax.tree.leaves(batch)
+    bs = leaves[0].shape[0]
+    pad = (-bs) % multiple
+    if pad == 0:
+        return batch, bs
+    def _pad(x):
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(np.asarray(x), widths, mode="edge")
+    return jax.tree.map(_pad, batch), bs
+
+
+def unpad(outputs: Any, true_bs: int):
+    return jax.tree.map(lambda x: x[:true_bs], outputs)

@@ -1,0 +1,134 @@
+"""Smoke tests: every model family initializes, runs forward in train and eval modes,
+and produces the right shapes. Tiny widths/points so the suite stays fast on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pvcnn_tpu.models import s3dis, shapenet
+from pvcnn_tpu.models.kitti import frustum as kitti_frustum
+
+B, N = 2, 128
+NUM_CLASSES, NUM_SHAPES = 10, 4
+
+
+def init_and_apply(model, inputs, rngs_extra=()):
+    rngs = {"params": jax.random.PRNGKey(0)}
+    for name in ("dropout",) + tuple(rngs_extra):
+        rngs[name] = jax.random.PRNGKey(hash(name) % 2**31)
+    variables = model.init(rngs, inputs, train=False)
+    apply_rngs = {k: v for k, v in rngs.items() if k != "params"}
+    out_eval = model.apply(variables, inputs, train=False, rngs=apply_rngs)
+    out_train, mutated = model.apply(
+        variables, inputs, train=True, rngs={k: v for k, v in rngs.items()
+                                             if k != "params"},
+        mutable=["batch_stats"])
+    return out_eval, out_train, variables, mutated
+
+
+def rand_inputs(rng, channels):
+    x = rng.randn(B, N, channels).astype(np.float32)
+    return jnp.asarray(x)
+
+
+class TestShapeNetModels:
+    def test_pvcnn(self, rng):
+        model = shapenet.PVCNN(num_classes=NUM_CLASSES, num_shapes=NUM_SHAPES,
+                               width_multiplier=0.125)
+        x = rand_inputs(rng, 6 + NUM_SHAPES)
+        out_eval, out_train, _, mutated = init_and_apply(model, x)
+        assert out_eval.shape == (B, N, NUM_CLASSES)
+        assert out_train.shape == (B, N, NUM_CLASSES)
+        assert "batch_stats" in mutated
+
+    def test_pointnet(self, rng):
+        model = shapenet.PointNet(num_classes=NUM_CLASSES, num_shapes=NUM_SHAPES,
+                                  with_transformer=True, width_multiplier=0.125)
+        x = rand_inputs(rng, 3 + NUM_SHAPES)
+        out_eval, out_train, _, _ = init_and_apply(model, x)
+        assert out_eval.shape == (B, N, NUM_CLASSES)
+
+    @pytest.mark.parametrize("factory", [shapenet.pointnet2_ssg,
+                                         shapenet.pointnet2_msg])
+    def test_pointnet2(self, rng, factory):
+        model = factory(num_classes=NUM_CLASSES, num_shapes=NUM_SHAPES,
+                        width_multiplier=0.25)
+        x = rand_inputs(rng, 6 + NUM_SHAPES)
+        out_eval, _, _, _ = init_and_apply(model, x)
+        assert out_eval.shape == (B, N, NUM_CLASSES)
+
+
+class TestS3DISModels:
+    def test_pvcnn(self, rng):
+        model = s3dis.PVCNN(num_classes=13, extra_feature_channels=6,
+                            width_multiplier=0.125)
+        x = rand_inputs(rng, 9)
+        out_eval, _, _, _ = init_and_apply(model, x)
+        assert out_eval.shape == (B, N, 13)
+
+    def test_pvcnn2(self, rng):
+        model = s3dis.PVCNN2(num_classes=13, extra_feature_channels=6,
+                             width_multiplier=0.25)
+        x = rand_inputs(rng, 9)
+        out_eval, _, _, _ = init_and_apply(model, x)
+        assert out_eval.shape == (B, N, 13)
+
+    def test_pointnet(self, rng):
+        model = s3dis.PointNet(num_classes=13, extra_feature_channels=6,
+                               width_multiplier=0.25)
+        x = rand_inputs(rng, 9)
+        out_eval, _, _, _ = init_and_apply(model, x)
+        assert out_eval.shape == (B, N, 13)
+
+
+SIZE_TEMPLATES = tuple(tuple(float(v) for v in row)
+                       for row in np.abs(np.random.RandomState(7).randn(8, 3)) + 1.0)
+
+
+class TestFrustumModels:
+    def _inputs(self, rng):
+        return {
+            "features": rand_inputs(rng, 4),
+            "one_hot_vectors": jnp.asarray(np.eye(3, dtype=np.float32)[
+                rng.randint(0, 3, size=(B,))]),
+        }
+
+    @pytest.mark.parametrize("factory", [kitti_frustum.FrustumPointNet,
+                                         kitti_frustum.FrustumPVCNNE,
+                                         kitti_frustum.FrustumPointNet2])
+    def test_forward(self, rng, factory):
+        model = factory(num_classes=3, num_heading_angle_bins=12,
+                        num_size_templates=8, num_points_per_object=32,
+                        size_templates=SIZE_TEMPLATES, width_multiplier=0.25)
+        inputs = self._inputs(rng)
+        out_eval, out_train, _, _ = init_and_apply(model, inputs,
+                                                   rngs_extra=("sample",))
+        assert out_eval["mask_logits"].shape == (B, N, 2)
+        assert out_eval["center"].shape == (B, 3)
+        assert out_eval["heading_scores"].shape == (B, 12)
+        assert out_eval["heading_residuals"].shape == (B, 12)
+        assert out_eval["size_scores"].shape == (B, 8)
+        assert out_eval["size_residuals"].shape == (B, 8, 3)
+
+    def test_loss(self, rng):
+        from pvcnn_tpu.nn import FrustumPointNetLoss
+        model = kitti_frustum.FrustumPointNet(
+            num_classes=3, num_heading_angle_bins=12, num_size_templates=8,
+            num_points_per_object=32, size_templates=SIZE_TEMPLATES,
+            width_multiplier=0.25)
+        inputs = self._inputs(rng)
+        out_eval, _, _, _ = init_and_apply(model, inputs, rngs_extra=("sample",))
+        targets = {
+            "mask_logits": jnp.asarray(rng.randint(0, 2, size=(B, N))),
+            "center": jnp.asarray(rng.randn(B, 3).astype(np.float32)),
+            "heading_bin_id": jnp.asarray(rng.randint(0, 12, size=(B,))),
+            "heading_residual": jnp.asarray(rng.randn(B).astype(np.float32) * 0.1),
+            "size_template_id": jnp.asarray(rng.randint(0, 8, size=(B,))),
+            "size_residual": jnp.asarray(rng.randn(B, 3).astype(np.float32) * 0.1),
+        }
+        criterion = FrustumPointNetLoss(
+            num_heading_angle_bins=12, num_size_templates=8,
+            size_templates=np.asarray(SIZE_TEMPLATES))
+        loss = criterion(out_eval, targets)
+        assert np.isfinite(float(loss))

@@ -1,0 +1,112 @@
+"""End-to-end training smoke tests on synthetic data: loss goes down, BatchNorm
+stats update, checkpoints round-trip, meters integrate, and the sharded train step
+runs on the virtual 8-device CPU mesh."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from pvcnn_tpu.data.loader import DataLoader
+from pvcnn_tpu.models import s3dis
+from pvcnn_tpu.nn.loss import CrossEntropyLoss
+from pvcnn_tpu.parallel import mesh as pmesh
+from pvcnn_tpu.train.optim import Adam, CosineAnnealingLR
+from pvcnn_tpu.train.trainer import (Trainer, load_checkpoint, save_checkpoint)
+
+B, N, C_IN, NUM_CLASSES = 8, 64, 9, 5
+
+
+class SyntheticSegDataset:
+    """Separable toy problem: label depends on sign of a linear feature."""
+
+    def __init__(self, n_items=16, seed=0):
+        rng = np.random.RandomState(seed)
+        self.items = []
+        for _ in range(n_items):
+            x = rng.randn(N, C_IN).astype(np.float32)
+            y = (x[:, 3] > 0).astype(np.int64) + 2 * (x[:, 4] > 0).astype(np.int64)
+            self.items.append((x, y))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+def test_loss_decreases_and_stats_update():
+    # one flow: train -> meters -> checkpoint -> partial-batch predict, sharing a
+    # single compiled trainer (the train step donates its state, so state must be
+    # threaded, never reused)
+    model = s3dis.PVCNN(num_classes=NUM_CLASSES, extra_feature_channels=6,
+                        width_multiplier=0.125)
+    tx, base_lr = Adam(1e-2)
+    trainer = Trainer(model, CrossEntropyLoss(), tx, seed=0)
+    state = trainer.init_state(np.zeros((1, N, C_IN), np.float32))
+    loader = DataLoader(SyntheticSegDataset(), batch_size=B, shuffle=True,
+                        prefetch=0)
+    sched = CosineAnnealingLR(t_max=10).bind(base_lr)
+    bs_before = jax.tree.leaves(state.batch_stats)[0].copy()
+    losses = []
+    for _ in range(4):
+        state, mean_loss = trainer.train_epoch(state, loader, scheduler=sched)
+        losses.append(mean_loss)
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+    bs_after = jax.tree.leaves(state.batch_stats)[0]
+    assert not np.allclose(np.asarray(bs_before), np.asarray(bs_after))
+    assert state.epoch == 3
+
+    # meters integration
+    from pvcnn_tpu.meters.s3dis import MeterS3DIS
+    meters = {"acc/iou_test": MeterS3DIS(metric="iou", num_classes=NUM_CLASSES),
+              "acc/acc_test": MeterS3DIS(metric="overall",
+                                         num_classes=NUM_CLASSES)}
+    results = trainer.evaluate(state, loader, meters)
+    assert 0 <= results["acc/acc_test"] <= 1
+
+    # checkpoint roundtrip
+    path = "/tmp/pvcnn_tpu_test_ckpt/latest.ckpt"
+    save_checkpoint(path, state, {"acc/acc_test": results["acc/acc_test"]})
+    model2 = s3dis.PVCNN(num_classes=NUM_CLASSES, extra_feature_channels=6,
+                         width_multiplier=0.125)
+    tx2, _ = Adam(1e-2)
+    trainer2 = Trainer(model2, CrossEntropyLoss(), tx2, seed=0)
+    state2 = trainer2.init_state(np.zeros((1, N, C_IN), np.float32))
+    state2, meters2 = load_checkpoint(path, state2)
+    assert state2.epoch == state.epoch
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert meters2["acc/acc_test"] == results["acc/acc_test"]
+    os.remove(path)
+
+    # partial batch (3 rows on an 8-device mesh) pads + unpads transparently
+    out = trainer.predict(state, np.random.randn(3, N, C_IN).astype(np.float32))
+    assert out.shape == (3, N, NUM_CLASSES)
+
+
+def test_multichip_mesh_sharding():
+    assert jax.device_count() == 8, "conftest must provide 8 virtual devices"
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
+
+
+def test_batch_is_actually_sharded():
+    mesh = pmesh.make_mesh(8)
+    x = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+    sx = pmesh.shard_batch(x, mesh)
+    assert len(sx.sharding.device_set) == 8
+    shard_shapes = {s.data.shape for s in sx.addressable_shards}
+    assert shard_shapes == {(1, 4)}
+
+
+def test_graft_entry_single():
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (args[0].shape[0], args[0].shape[1], 50)
