@@ -43,9 +43,10 @@ def pallas_fps_supported(n: int) -> bool:
 
 
 def _fps_kernel(coords_ref, out_ref, min_d2):
-    # coords_ref: [1, 3, N] f32 (VMEM), out_ref: [1, M] int32, min_d2: [1, N] scratch
+    # coords_ref: [1, 3, N] f32 (VMEM), out_ref: [1, 1, M] int32,
+    # min_d2: [1, N] scratch
     n = coords_ref.shape[2]
-    m = out_ref.shape[1]
+    m = out_ref.shape[2]
     xs = coords_ref[0, 0:1, :]
     ys = coords_ref[0, 1:2, :]
     zs = coords_ref[0, 2:3, :]
@@ -53,7 +54,7 @@ def _fps_kernel(coords_ref, out_ref, min_d2):
     lane_m = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
 
     min_d2[:, :] = jnp.full((1, n), 1e38, dtype=jnp.float32)
-    out_ref[:, :] = jnp.zeros((1, m), dtype=jnp.int32)
+    out_ref[0, :, :] = jnp.zeros((1, m), dtype=jnp.int32)
 
     def body(j, last):
         sel = lane == last
@@ -66,7 +67,7 @@ def _fps_kernel(coords_ref, out_ref, min_d2):
         best = jnp.max(nd)
         # first lane attaining the max == CUDA tie-break toward the lower index
         nxt = jnp.min(jnp.where(nd == best, lane, n)).astype(jnp.int32)
-        out_ref[:, :] = jnp.where(lane_m == j, nxt, out_ref[:, :])
+        out_ref[0, :, :] = jnp.where(lane_m == j, nxt, out_ref[0, :, :])
         return nxt
 
     jax.lax.fori_loop(1, m, body, jnp.int32(0))
@@ -77,15 +78,16 @@ def fps_indices_pallas(coords: jnp.ndarray, num_samples: int):
     """coords [B, N, 3] float -> FPS indices [B, M] int32."""
     b, n, _ = coords.shape
     coords_t = jnp.transpose(coords, (0, 2, 1)).astype(jnp.float32)  # [B, 3, N]
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _fps_kernel,
-        out_shape=jax.ShapeDtypeStruct((b, num_samples), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, 1, num_samples), jnp.int32),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, 3, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec((1, num_samples), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, 1, num_samples), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((1, n), jnp.float32)],
         interpret=_interpret(),
     )(coords_t)
+    return out[:, 0, :]
