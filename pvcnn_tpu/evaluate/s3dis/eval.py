@@ -97,9 +97,12 @@ def evaluate(configs):
         return None
     state, _ = load_checkpoint(ckpt, state)
 
-    forward = jax.jit(lambda s, x: jax.nn.softmax(
-        model.apply({"params": s.params, "batch_stats": s.batch_stats}, x,
-                    train=False), axis=-1))
+    @jax.jit
+    def forward(s, x):
+        with jax.default_matmul_precision("float32"):  # checkpoint parity
+            return jax.nn.softmax(
+                model.apply({"params": s.params, "batch_stats": s.batch_stats},
+                            x, train=False), axis=-1)
 
     num_points = dataset.num_points
     eval_batch = int(configs.evaluate.get("batch_size", 10))

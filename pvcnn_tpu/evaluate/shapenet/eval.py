@@ -82,9 +82,13 @@ def evaluate(configs):
     state, _ = load_checkpoint(ckpt, state)
 
     eval_batch = int(configs.evaluate.get("batch_size", 32))
-    forward = jax.jit(lambda s, x: jax.nn.softmax(
-        model.apply({"params": s.params, "batch_stats": s.batch_stats}, x,
-                    train=False), axis=-1))
+
+    @jax.jit
+    def forward(s, x):
+        with jax.default_matmul_precision("float32"):  # checkpoint parity
+            return jax.nn.softmax(
+                model.apply({"params": s.params, "batch_stats": s.batch_stats},
+                            x, train=False), axis=-1)
 
     stats = np.zeros((dataset.num_shapes, 2))
     for file_path, shape_id in dataset.file_paths:

@@ -43,10 +43,14 @@ class Trainer:
     """Owns the jitted step functions for one (model, criterion, optimizer)."""
 
     def __init__(self, model, criterion, tx, mesh=None, seed: int = 0,
-                 has_sample_rng: bool = False):
+                 has_sample_rng: bool = False,
+                 eval_matmul_precision: str = "float32"):
         self.model = model
         self.criterion = criterion
         self.tx = tx
+        # eval runs at fp32 matmul precision by default: TPU's bf16 default is
+        # fine for training but would break released-checkpoint parity metrics
+        self.eval_matmul_precision = eval_matmul_precision
         self.mesh = mesh if mesh is not None else pmesh.make_mesh()
         self.num_devices = self.mesh.devices.size
         self.has_sample_rng = has_sample_rng
@@ -98,8 +102,9 @@ class Trainer:
 
     def _eval_step_impl(self, state: TrainState, inputs, rng):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        return self.model.apply(variables, inputs, train=False,
-                                rngs=self._rngs(rng))
+        with jax.default_matmul_precision(self.eval_matmul_precision):
+            return self.model.apply(variables, inputs, train=False,
+                                    rngs=self._rngs(rng))
 
     # ---- public API ---------------------------------------------------------
 

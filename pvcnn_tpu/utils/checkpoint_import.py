@@ -1,0 +1,221 @@
+"""Import released PyTorch `.pth.tar` checkpoints into pvcnn_tpu parameter trees.
+
+The reference ships pretrained checkpoints (reference README.md:81-126) whose
+state dicts follow the torch module naming of models/** and modules/**. This shim
+maps those names onto our flax parameter/batch-stats trees and transposes weights
+into channel-last layouts:
+
+    Conv1d/Conv2d 1x1 [out, in, 1(,1)]  -> Dense kernel [in, out]
+    Linear        [out, in]             -> Dense kernel [in, out]
+    Conv3d        [out, in, kd, kh, kw] -> Conv kernel [kd, kh, kw, in, out]
+    BatchNorm     weight/bias/running_* -> scale/bias + batch_stats mean/var
+
+Mappings are emitted structurally from the same block specs the models are built
+from, so torch-name <-> flax-path pairing is explicit rather than order-based.
+Currently covers the PVCNN family (ShapeNet + S3DIS — the BASELINE.json parity
+configs) and the plain PointNet variants built from create_pointnet_components /
+create_mlp_components.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+__all__ = ["load_torch_state_dict", "import_state_dict",
+           "pvcnn_shapenet_mapping", "pvcnn_s3dis_mapping"]
+
+
+# ---- mapping emitters --------------------------------------------------------
+# A mapping is a list of (torch_prefix, flax_path, kind) with kind in
+# {'dense', 'conv3d', 'bn'}; torch_prefix is the module path owning
+# weight/bias(/running_mean/...).
+
+
+def shared_mlp_entries(torch_prefix: str, flax_prefix: str,
+                       num_layers: int) -> List[Tuple[str, str, str]]:
+    """Reference SharedMLP: layers.(3k) Conv, layers.(3k+1) BN
+    (modules/shared_mlp.py:21-27)."""
+    out = []
+    for k in range(num_layers):
+        out.append((f"{torch_prefix}.layers.{3 * k}",
+                    f"{flax_prefix}/Dense_{k}", "dense"))
+        out.append((f"{torch_prefix}.layers.{3 * k + 1}",
+                    f"{flax_prefix}/BatchNorm_{k}/BatchNorm_0", "bn"))
+    return out
+
+
+def linear_bn_relu_entries(torch_prefix: str, flax_prefix: str):
+    """Reference _linear_bn_relu Sequential (models/utils.py:11-12)."""
+    return [(f"{torch_prefix}.0", f"{flax_prefix}/Dense_0", "dense"),
+            (f"{torch_prefix}.1", f"{flax_prefix}/BatchNorm_0/BatchNorm_0",
+             "bn")]
+
+
+def pvconv_entries(torch_prefix: str, flax_prefix: str, with_se: bool):
+    """Reference PVConv voxel_layers indices 0/1/3/4 (+6 SE) + point SharedMLP
+    (modules/pvconv.py:20-31)."""
+    out = [
+        (f"{torch_prefix}.voxel_layers.0", f"{flax_prefix}/Conv_0", "conv3d"),
+        (f"{torch_prefix}.voxel_layers.1",
+         f"{flax_prefix}/BatchNorm_0/BatchNorm_0", "bn"),
+        (f"{torch_prefix}.voxel_layers.3", f"{flax_prefix}/Conv_1", "conv3d"),
+        (f"{torch_prefix}.voxel_layers.4",
+         f"{flax_prefix}/BatchNorm_1/BatchNorm_0", "bn"),
+    ]
+    if with_se:
+        out.append((f"{torch_prefix}.voxel_layers.6.fc.0",
+                    f"{flax_prefix}/SE3d_0/Dense_0", "dense"))
+        out.append((f"{torch_prefix}.voxel_layers.6.fc.2",
+                    f"{flax_prefix}/SE3d_0/Dense_1", "dense"))
+    out += shared_mlp_entries(f"{torch_prefix}.point_features",
+                              f"{flax_prefix}/SharedMLP_0", 1)
+    return out
+
+
+def point_blocks_entries(blocks, torch_prefix: str, with_se: bool,
+                         start_counts: Dict[str, int] | None = None):
+    """create_pointnet_components layer list (models/utils.py:48-64): PVConv for
+    voxel blocks, SharedMLP otherwise. Flax auto-names count per class at the
+    model's top level."""
+    counts = start_counts if start_counts is not None else {}
+    entries = []
+    i = 0
+    for out_channels, num_blocks, voxel_resolution in blocks:
+        for _ in range(num_blocks):
+            if voxel_resolution is None:
+                k = counts.get("SharedMLP", 0)
+                counts["SharedMLP"] = k + 1
+                entries += shared_mlp_entries(f"{torch_prefix}.{i}",
+                                              f"SharedMLP_{k}", 1)
+            else:
+                k = counts.get("PVConv", 0)
+                counts["PVConv"] = k + 1
+                entries += pvconv_entries(f"{torch_prefix}.{i}", f"PVConv_{k}",
+                                          with_se)
+            i += 1
+    return entries, counts
+
+
+def mlp_classifier_entries(out_channels, torch_prefix: str, dim: int,
+                           counts: Dict[str, int]):
+    """create_mlp_components classifier (models/utils.py:15-45); dropout entries
+    occupy torch Sequential slots but hold no parameters."""
+    entries = []
+    i = 0
+    specs = list(out_channels)
+    for oc in specs[:-1]:
+        if oc < 1:
+            i += 1  # Dropout
+            continue
+        if dim == 1:
+            k = counts.get("DenseBNReLU", 0)
+            counts["DenseBNReLU"] = k + 1
+            entries += linear_bn_relu_entries(f"{torch_prefix}.{i}",
+                                              f"DenseBNReLU_{k}")
+        else:
+            k = counts.get("SharedMLP", 0)
+            counts["SharedMLP"] = k + 1
+            entries += shared_mlp_entries(f"{torch_prefix}.{i}",
+                                          f"SharedMLP_{k}", 1)
+        i += 1
+    # final classifier layer: plain Conv1d/Linear -> Dense
+    k = counts.get("Dense", 0)
+    counts["Dense"] = k + 1
+    entries.append((f"{torch_prefix}.{i}", f"Dense_{k}", "dense"))
+    return entries, counts
+
+
+def pvcnn_shapenet_mapping():
+    """models/shapenet/pvcnn.py:10: blocks + [256,0.2,256,0.2,128,C] classifier,
+    with_se=True."""
+    blocks = ((64, 1, 32), (128, 2, 16), (512, 1, None), (2048, 1, None))
+    entries, counts = point_blocks_entries(blocks, "point_features",
+                                           with_se=True)
+    cls_entries, _ = mlp_classifier_entries([256, 0.2, 256, 0.2, 128, -1],
+                                            "classifier", dim=2, counts=counts)
+    return entries + cls_entries
+
+
+def pvcnn_s3dis_mapping():
+    """models/s3dis/pvcnn.py:10: blocks + cloud MLP [256,128] + classifier
+    [512,0.3,256,0.3,C], with_se=False."""
+    blocks = ((64, 1, 32), (64, 2, 16), (128, 1, 16), (1024, 1, None))
+    entries, counts = point_blocks_entries(blocks, "point_features",
+                                           with_se=False)
+    for j in range(2):
+        k = counts.get("DenseBNReLU", 0)
+        counts["DenseBNReLU"] = k + 1
+        entries += linear_bn_relu_entries(f"cloud_features.{j}",
+                                          f"DenseBNReLU_{k}")
+    cls_entries, _ = mlp_classifier_entries([512, 0.3, 256, 0.3, -1],
+                                            "classifier", dim=2, counts=counts)
+    return entries + cls_entries
+
+
+# ---- state-dict application --------------------------------------------------
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a reference .pth.tar and return its model state dict as numpy,
+    stripped of the DataParallel 'module.' prefix."""
+    import torch
+
+    checkpoint = torch.load(path, map_location="cpu", weights_only=False)
+    state = checkpoint["model"] if "model" in checkpoint else checkpoint
+    out = {}
+    for k, v in state.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = np.asarray(v.detach().cpu().numpy()
+                            if hasattr(v, "detach") else v)
+    return out
+
+
+def _set(tree: dict, path: str, leaf: str, value: np.ndarray):
+    node = tree
+    for part in path.split("/"):
+        if part not in node:
+            raise KeyError(f"flax path {path} not found (missing {part}; "
+                           f"have {list(node)})")
+        node = node[part]
+    if leaf not in node:
+        raise KeyError(f"leaf {leaf} not found at {path} (have {list(node)})")
+    expect = np.asarray(node[leaf]).shape
+    if tuple(value.shape) != tuple(expect):
+        raise ValueError(f"shape mismatch at {path}/{leaf}: "
+                         f"checkpoint {value.shape} vs model {expect}")
+    node[leaf] = value.astype(np.asarray(node[leaf]).dtype)
+
+
+def import_state_dict(state_dict: Dict[str, np.ndarray], params: dict,
+                      batch_stats: dict, mapping) -> Tuple[dict, dict]:
+    """Apply a (torch_prefix, flax_path, kind) mapping; returns new
+    (params, batch_stats) trees (copies)."""
+    import jax
+
+    params = jax.tree.map(np.asarray, params)
+    batch_stats = jax.tree.map(np.asarray, batch_stats)
+    for torch_prefix, flax_path, kind in mapping:
+        if kind == "dense":
+            w = state_dict[f"{torch_prefix}.weight"]
+            w = w.reshape(w.shape[0], w.shape[1])  # drop trailing 1x(1) conv dims
+            _set(params, flax_path, "kernel", w.T)
+            if f"{torch_prefix}.bias" in state_dict:
+                _set(params, flax_path, "bias",
+                     state_dict[f"{torch_prefix}.bias"])
+        elif kind == "conv3d":
+            w = state_dict[f"{torch_prefix}.weight"]
+            _set(params, flax_path, "kernel", np.transpose(w, (2, 3, 4, 1, 0)))
+            _set(params, flax_path, "bias", state_dict[f"{torch_prefix}.bias"])
+        elif kind == "bn":
+            _set(params, flax_path, "scale",
+                 state_dict[f"{torch_prefix}.weight"])
+            _set(params, flax_path, "bias", state_dict[f"{torch_prefix}.bias"])
+            _set(batch_stats, flax_path, "mean",
+                 state_dict[f"{torch_prefix}.running_mean"])
+            _set(batch_stats, flax_path, "var",
+                 state_dict[f"{torch_prefix}.running_var"])
+        else:
+            raise ValueError(kind)
+    return params, batch_stats

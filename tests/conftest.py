@@ -5,7 +5,11 @@ Must run before the first `import jax` anywhere in the test session.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard override: the harness boots every interpreter with the axon TPU backend
+# registered (sitecustomize) and JAX_PLATFORMS=axon; env vars alone are ignored,
+# so force the platform through jax.config. Tests must run on CPU with 8 virtual
+# devices for determinism, fp32 matmuls, and sharding coverage.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,6 +17,11 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # exercise the Pallas kernels in interpret mode on CPU
 os.environ.setdefault("PVCNN_TPU_PALLAS_INTERPRET", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.device_count() == 8, jax.devices()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
