@@ -104,7 +104,7 @@ def evaluate(configs):
         print(f"==> no checkpoint at {ckpt}")
         return None
     print(f'==> loading checkpoint "{ckpt}"')
-    state, _ = load_checkpoint(ckpt, state)
+    state, _ = load_checkpoint(ckpt, state, restore_opt=False)
 
     size_templates = np.asarray(configs.data.size_templates).reshape(-1, 3)
     nh = configs.data.num_heading_angle_bins

@@ -95,7 +95,7 @@ def evaluate(configs):
     if not os.path.exists(ckpt):
         print(f"==> no checkpoint at {ckpt}")
         return None
-    state, _ = load_checkpoint(ckpt, state)
+    state, _ = load_checkpoint(ckpt, state, restore_opt=False)
 
     @jax.jit
     def forward(s, x):

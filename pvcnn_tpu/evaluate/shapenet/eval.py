@@ -79,7 +79,7 @@ def evaluate(configs):
     if not os.path.exists(ckpt):
         print(f"==> no checkpoint at {ckpt}")
         return None
-    state, _ = load_checkpoint(ckpt, state)
+    state, _ = load_checkpoint(ckpt, state, restore_opt=False)
 
     eval_batch = int(configs.evaluate.get("batch_size", 32))
 

@@ -115,6 +115,12 @@ class Trainer:
             set_learning_rate(state.opt_state, scheduler(epoch))
         losses = []
         for batch in loader:
+            bs = jax.tree.leaves(batch)[0].shape[0]
+            if bs % self.num_devices != 0:
+                # a partial trailing batch cannot shard over the data axis;
+                # drop it (the DP-idiomatic adaptation of the reference's
+                # keep-partial-batches DataLoader)
+                continue
             batch = pmesh.shard_batch(batch, self.mesh)
             self.root_rng, rng = jax.random.split(self.root_rng)
             state, loss = self._train_step(state, batch, rng)
@@ -158,11 +164,20 @@ def save_checkpoint(path: str, state: TrainState, meters: Optional[dict] = None)
     os.replace(tmp, path)
 
 
-def load_checkpoint(path: str, state: TrainState):
-    """Restore into the structure of `state`; returns (state, meters)."""
+def load_checkpoint(path: str, state: TrainState, restore_opt: bool = True):
+    """Restore into the structure of `state`; returns (state, meters).
+
+    restore_opt=False restores only params/batch_stats — the evaluators use it so
+    a training checkpoint (with optimizer state) loads into an inference-only
+    TrainState built with optax.identity()."""
     with open(path, "rb") as f:
         payload = flax.serialization.msgpack_restore(f.read())
-    restored = flax.serialization.from_state_dict(state, payload["state"])
+    saved = payload["state"]
+    if not restore_opt:
+        saved = dict(saved)
+        saved["opt_state"] = flax.serialization.to_state_dict(state).get(
+            "opt_state", {})
+    restored = flax.serialization.from_state_dict(state, saved)
     restored = restored.replace(epoch=int(payload["epoch"]))
     return restored, payload.get("meters", {})
 

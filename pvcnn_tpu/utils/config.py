@@ -87,7 +87,9 @@ class Config(AttrDict):
         path = os.path.normpath(path)
         parts = path.split(os.sep)
         for i in range(1, len(parts)):
-            exec_once(os.path.join(*parts[:i], "__init__.py"))
+            prefix = os.sep.join(parts[:i])  # preserves a leading '/'
+            if prefix:
+                exec_once(os.path.join(prefix, "__init__.py"))
         exec_once(path)
 
     def update_from_modules(self, *paths: str):

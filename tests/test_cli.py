@@ -1,0 +1,94 @@
+"""End-to-end CLI test: train one epoch of ShapeNet PVCNN on a fabricated
+micro-dataset through `train.py` config loading, then run the voting evaluator
+through the `--evaluate` path. Covers L7 (CLI) -> L6 (configs) -> ... -> L0."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+SHAPE_DIRS = [f"{2690000 + i:08d}" for i in range(16)]
+SHAPE_NAMES = ["Airplane", "Bag", "Cap", "Car", "Chair", "Earphone", "Guitar",
+               "Knife", "Lamp", "Laptop", "Motorbike", "Mug", "Pistol",
+               "Rocket", "Skateboard", "Table"]
+PART_RANGES = [(0, 4), (4, 6), (6, 8), (8, 12), (12, 16), (16, 19), (19, 22),
+               (22, 24), (24, 28), (28, 30), (30, 36), (36, 38), (38, 41),
+               (41, 44), (44, 47), (47, 50)]
+
+
+@pytest.fixture(scope="module")
+def micro_shapenet(tmp_path_factory):
+    root = tmp_path_factory.mktemp("shapenet")
+    rng = np.random.RandomState(0)
+    with open(root / "synsetoffset2category.txt", "w") as f:
+        for name, d in zip(SHAPE_NAMES, SHAPE_DIRS):
+            f.write(f"{name}\t{d}\n")
+    (root / "train_test_split").mkdir()
+    lists = {"train": [], "val": [], "test": []}
+    for shape_id in range(2):  # two shape categories, two items each
+        d = SHAPE_DIRS[shape_id]
+        (root / d).mkdir()
+        lo, hi = PART_RANGES[shape_id]
+        for item in range(2):
+            n = 96 + 32 * item
+            pts = rng.randn(n, 6).astype(np.float32)
+            labels = rng.randint(lo, hi, size=(n, 1))
+            np.savetxt(root / d / f"item{shape_id}{item}.txt",
+                       np.concatenate([pts, labels], axis=1), fmt="%.5f")
+            for split in lists:
+                lists[split].append(f"shape_data/{d}/item{shape_id}{item}")
+    for split, entries in lists.items():
+        with open(root / "train_test_split"
+                  / f"shuffled_{split}_file_list.json", "w") as f:
+            json.dump(entries, f)
+    return str(root)
+
+
+def _run_train(micro_shapenet, tmp_path, extra=()):
+    from pvcnn_tpu.utils import config as config_mod
+
+    # the configs singleton is module-global state; reset per invocation
+    config_mod.configs.clear()
+    old_argv, old_cwd = sys.argv, os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        sys.argv = ["train.py", os.path.join(old_cwd,
+                                             "configs/shapenet/pvcnn/c0p25.py"),
+                    f"--configs.dataset.root={micro_shapenet}",
+                    "--configs.dataset.num_points=32",
+                    "--configs.train.num_epochs=1",
+                    "--configs.train.batch_size=8",
+                    "--configs.train.save_path=run_out",
+                    "--configs.model.width_multiplier=0.125",
+                    *extra]
+        import importlib
+
+        import train as train_cli
+        importlib.reload(train_cli)
+        train_cli.main()
+    finally:
+        sys.argv = old_argv
+        os.chdir(old_cwd)
+        config_mod.configs.clear()
+
+
+def test_train_and_evaluate_cli(micro_shapenet, tmp_path):
+    _run_train(micro_shapenet, tmp_path)
+    run_dir = tmp_path / "run_out"
+    assert (run_dir / "latest.ckpt").exists()
+    assert (run_dir / "best.ckpt").exists()
+    assert (run_dir / "latest" / "e0.ckpt").exists()
+
+    # resume path: second run loads the checkpoint and exits (num_epochs reached)
+    _run_train(micro_shapenet, tmp_path)
+
+    # evaluate path (voting protocol over full shapes)
+    _run_train(micro_shapenet, tmp_path,
+               extra=["--evaluate", "--configs.evaluate.num_votes=2"])
+    stats = np.load(run_dir / "best.eval.npy")
+    assert stats.shape == (16, 2)
+    assert stats[:2, 1].sum() == 4  # 4 shapes evaluated (2 cats x 2 items)
+    miou = stats[:, 0].sum() / stats[:, 1].sum()
+    assert 0.0 <= miou <= 1.0
