@@ -109,13 +109,18 @@ class Trainer:
     # ---- public API ---------------------------------------------------------
 
     def train_epoch(self, state: TrainState, loader, scheduler=None,
-                    writer=None, log_tag: str = "loss/train"):
+                    writer=None, log_tag: str = "loss/train",
+                    throughput_meter=None, profile_dir: str | None = None,
+                    profile_steps: int = 5):
         epoch = state.epoch + 1
         if scheduler is not None:
             set_learning_rate(state.opt_state, scheduler(epoch))
         losses = []
+        step_in_epoch = 0
+        tracing = False
         for batch in loader:
-            bs = jax.tree.leaves(batch)[0].shape[0]
+            leaves = jax.tree.leaves(batch)
+            bs = leaves[0].shape[0]
             if bs % self.num_devices != 0:
                 # a partial trailing batch cannot shard over the data axis;
                 # drop it (the DP-idiomatic adaptation of the reference's
@@ -123,11 +128,26 @@ class Trainer:
                 continue
             batch = pmesh.shard_batch(batch, self.mesh)
             self.root_rng, rng = jax.random.split(self.root_rng)
+            # profile a span of steps in the first epoch (skip step 0: compile)
+            if profile_dir is not None and epoch == 0:
+                if step_in_epoch == 1:
+                    jax.profiler.start_trace(profile_dir)
+                    tracing = True
+                elif tracing and step_in_epoch > profile_steps:
+                    jax.block_until_ready(state.params)
+                    jax.profiler.stop_trace()
+                    tracing = False
             state, loss = self._train_step(state, batch, rng)
             losses.append(loss)
+            if throughput_meter is not None:
+                throughput_meter.tick(points=bs * leaves[0].shape[1])
             if writer is not None:
                 writer.add_scalar(log_tag, float(loss), self._step_count)
             self._step_count += 1
+            step_in_epoch += 1
+        if tracing:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
         state = state.replace(epoch=epoch)
         return state, float(np.mean([float(l) for l in losses])) if losses else 0.0
 

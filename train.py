@@ -137,11 +137,22 @@ def main():
     except Exception:
         writer = None
 
+    from pvcnn_tpu.utils.profiler import ThroughputMeter
+    throughput = ThroughputMeter()
+    profile_dir = (os.path.join(configs.train.save_path, "profile")
+                   if configs.train.get("profile") else None)
+
     for current_epoch in range(state.epoch + 1, configs.train.num_epochs):
         print(f"\n==> training epoch {current_epoch}/{configs.train.num_epochs}")
         state, mean_loss = trainer.train_epoch(state, loaders[train_split],
-                                               scheduler=scheduler, writer=writer)
-        print(f"[loss/train] = {mean_loss:.6f}")
+                                               scheduler=scheduler, writer=writer,
+                                               throughput_meter=throughput,
+                                               profile_dir=profile_dir)
+        pps = throughput.points_per_sec()
+        print(f"[loss/train] = {mean_loss:.6f}  "
+              f"[points/sec] = {pps:,.0f}")
+        if writer is not None:
+            writer.add_scalar("perf/points_per_sec", pps, current_epoch)
 
         meters = {}
         for split, loader in loaders.items():
