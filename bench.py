@@ -22,7 +22,7 @@ PROXY_BASELINE_POINTS_PER_SEC = 1.0e6
 BATCH = 32
 NUM_POINTS = 2048
 WARMUP = 3
-ITERS = 10
+ITERS = 30
 
 
 def main():
@@ -51,15 +51,24 @@ def main():
     batch = pmesh.shard_batch((inputs, labels), trainer.mesh)
     key = jax.random.PRNGKey(0)
 
+    # NOTE: block_until_ready does not synchronize on the tunneled axon backend;
+    # a scalar host fetch is the only reliable fence, so we enqueue ITERS steps
+    # and subtract the measured roundtrip latency of the fence itself.
+    def fence(x):
+        return float(np.asarray(x))
+
     for _ in range(WARMUP):
         state, loss = trainer._train_step(state, batch, key)
-    jax.block_until_ready(loss)
+    fence(loss)
+    t0 = time.perf_counter()
+    fence(loss)
+    latency = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, loss = trainer._train_step(state, batch, key)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+    fence(loss)
+    dt = max(time.perf_counter() - t0 - latency, 1e-9)
 
     n_chips = max(trainer.num_devices, 1)
     points_per_sec_per_chip = BATCH * NUM_POINTS * ITERS / dt / n_chips

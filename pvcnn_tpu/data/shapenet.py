@@ -59,8 +59,10 @@ class _ShapeNetDataset:
         if index in self.cache:
             coords, normal, label, shape_id = self.cache[index]
         else:
+            from pvcnn_tpu import native
+
             file_path, shape_id = self.file_paths[index]
-            data = np.loadtxt(file_path).astype(np.float32)
+            data = native.loadtxt(file_path)
             coords = data[:, :3]
             if self.normalize:
                 coords = self.normalize_point_cloud(coords)

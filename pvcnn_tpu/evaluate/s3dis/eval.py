@@ -23,20 +23,14 @@ __all__ = ["evaluate", "update_scene_predictions", "update_stats", "print_stats"
 
 def update_scene_predictions(confidences_v, predictions_v, point_indices_v,
                              scene_confidences, scene_predictions):
-    """Flat vote arrays -> per-scene-point max-confidence vote (vectorized twin of
-    the reference numba loop, eval.py:188-203)."""
-    order = np.argsort(confidences_v, kind="stable")
-    idx = point_indices_v[order]
-    conf = confidences_v[order]
-    pred = predictions_v[order]
-    # ascending writes: the last (= max confidence) vote per point wins this batch
-    cand_conf = np.full_like(scene_confidences, -1.0)
-    cand_pred = np.zeros_like(scene_predictions)
-    cand_conf[idx] = conf
-    cand_pred[idx] = pred
-    better = cand_conf > scene_confidences
-    scene_confidences[better] = cand_conf[better]
-    scene_predictions[better] = cand_pred[better]
+    """Flat vote arrays -> per-scene-point max-confidence vote (the reference
+    numba loop, eval.py:188-203, via the native C++ reducer with the same
+    first-vote-wins tie-breaking)."""
+    from pvcnn_tpu import native
+
+    native.vote_reduce_max(confidences_v, predictions_v.astype(np.int64),
+                           point_indices_v.astype(np.int64),
+                           scene_confidences, scene_predictions)
 
 
 def update_stats(stats, ground_truth, predictions, scene_index, num_classes):

@@ -28,12 +28,13 @@ def update_shape_predictions(vote_confidences, vote_predictions,
                              shuffled_point_indices, shape_confidences,
                              shape_predictions):
     """Keep, per original point, the prediction of its max-confidence vote
-    (vectorized twin of the reference's numba loop, eval.py:176-185)."""
-    order = np.argsort(vote_confidences, kind="stable")
-    idx = shuffled_point_indices[order]
-    np.maximum.at(shape_confidences, shuffled_point_indices, vote_confidences)
-    # ascending write: the last (= highest confidence) vote per point wins
-    shape_predictions[idx] = vote_predictions[order]
+    (the reference's numba loop, eval.py:176-185, via the native C++ reducer
+    with the same first-vote-wins tie-breaking)."""
+    from pvcnn_tpu import native
+
+    native.vote_reduce_max(vote_confidences, vote_predictions.astype(np.int64),
+                           shuffled_point_indices.astype(np.int64),
+                           shape_confidences, shape_predictions)
 
 
 def update_stats(stats, ground_truth, predictions, shape_id, start_class,
@@ -90,9 +91,11 @@ def evaluate(configs):
                 model.apply({"params": s.params, "batch_stats": s.batch_stats},
                             x, train=False), axis=-1)
 
+    from pvcnn_tpu import native
+
     stats = np.zeros((dataset.num_shapes, 2))
     for file_path, shape_id in dataset.file_paths:
-        data = np.loadtxt(file_path).astype(np.float32)
+        data = native.loadtxt(file_path)
         total_points = data.shape[0]
         confidences = np.zeros(total_points, dtype=np.float32)
         predictions = np.full(total_points, -1, dtype=np.int64)

@@ -1,0 +1,127 @@
+"""Pallas TPU kernel: fused one-hot scatter-add (the voxelization hot path).
+
+`onehot_scatter_add(values [B,N,C], idx [B,N], num_bins)` computes, per batch item,
+`out[v] = sum_{n: idx[n]==v} values[n]` — the scatter at the heart of
+avg_voxelize (reference vox.cu:48-72).
+
+XLA lowers this scatter to a serialized per-index loop on TPU (~4 ms at
+B=32, N=2048, bins=32768). Reformulated as a one-hot matmul it runs on the MXU,
+but materializing the [N, bins] one-hot in HBM costs gigabytes; this kernel builds
+it tile-by-tile in VMEM instead — one kernel invocation per batch item (a
+(B, bins/128) grid costs more in dispatch than the math), a `fori_loop` over bin
+tiles inside.
+
+Layout: channels on SUBLANES, bins/points on LANES ([C, N] x [N, TILE_V] ->
+[C, TILE_V] MXU tiles). With channels on lanes the [bins, C] output would pad
+C up to 128 lanes and blow VMEM (32k bins x 128 lanes x 4B = 16 MB).
+
+  * split idx into (hi, lo) = (idx // TILE_V, idx % TILE_V)
+  * the lo-mask [N, TILE_V] = (lo == tile_col) is *tile-independent*: computed
+    once per batch item and reused for every tile
+  * per tile: zero the value columns whose hi != tile id, then one
+    [C, N] @ [N, TILE_V] MXU matmul produces the tile of the output
+
+Deterministic by construction (no atomics), unlike the reference's atomicAdd.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["onehot_scatter_add", "pallas_scatter_supported"]
+
+TILE_V = 128
+
+
+def _interpret() -> bool:
+    return os.environ.get("PVCNN_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
+def pallas_scatter_supported(num_bins: int, n: int, c: int) -> bool:
+    if num_bins % TILE_V != 0 or n % 8 != 0:
+        return False
+    # VMEM (f32 worst case): out [C, bins] + lo-mask [N, TILE_V] + values [C, N]
+    c_pad = max(c, 8)
+    vmem = (c_pad * num_bins + n * TILE_V + c_pad * n + n) * 4
+    if vmem > 10 * 1024 * 1024:
+        return False
+    if _interpret():
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _scatter_kernel(mm_dtype, precision, idx_ref, values_ref, out_ref, lo_mask):
+    # idx_ref: [1, 1, N] int32; values_ref: [1, C, N]; out_ref: [1, C, bins] f32
+    # lo_mask scratch: [N, TILE_V] mm_dtype
+    n = idx_ref.shape[2]
+    c = values_ref.shape[1]
+    bins = out_ref.shape[2]
+    idx = idx_ref[...].reshape(1, n)
+    values = values_ref[...].reshape(c, n)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, TILE_V), 1)
+    lo = jax.lax.rem(idx, TILE_V).reshape(n, 1)
+    lo_mask[:, :] = (cols == lo).astype(mm_dtype)
+    hi = jax.lax.div(idx, TILE_V)                             # [1, N]
+
+    def body(t, _):
+        sel = (hi == t).astype(values.dtype)                  # [1, N]
+        masked = (values * sel).astype(mm_dtype)              # [C, N]
+        tile = jax.lax.dot(masked, lo_mask[:, :],
+                           precision=precision,
+                           preferred_element_type=jnp.float32)
+        out_ref[0, :, pl.ds(t * TILE_V, TILE_V)] = tile.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, bins // TILE_V, body, 0)
+
+
+def _mm_dtype():
+    """bf16 MXU matmuls by default; fp32 when a high-precision matmul context is
+    active (the evaluators set one for checkpoint parity)."""
+    try:
+        prec = jax.config.jax_default_matmul_precision
+    except AttributeError:
+        prec = None
+    if prec in ("float32", "highest", "high"):
+        return jnp.float32
+    return jnp.bfloat16
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _onehot_scatter_add(values, idx, num_bins, mm_dtype):
+    b, n, c = values.shape
+    precision = (jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    values_t = jnp.transpose(values, (0, 2, 1))               # [B, C, N]
+    out = pl.pallas_call(
+        functools.partial(_scatter_kernel, mm_dtype, precision),
+        out_shape=jax.ShapeDtypeStruct((b, c, num_bins), jnp.float32),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, num_bins), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n, TILE_V), mm_dtype)],
+        interpret=_interpret(),
+    )(idx.astype(jnp.int32)[:, None, :], values_t)
+    return jnp.transpose(out, (0, 2, 1))                      # [B, bins, C]
+
+
+def onehot_scatter_add(values: jnp.ndarray, idx: jnp.ndarray, num_bins: int,
+                       mm_dtype=None):
+    """values [B, N, C] float, idx [B, N] int32 in [0, num_bins) ->
+    [B, num_bins, C] float32 scatter-sum."""
+    assert num_bins % TILE_V == 0
+    return _onehot_scatter_add(values, idx, num_bins,
+                               mm_dtype or _mm_dtype())

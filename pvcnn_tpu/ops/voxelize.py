@@ -2,32 +2,71 @@
 
 TPU-native replacement for the reference CUDA kernels `grid_stats_kernel` /
 `avg_voxelize_kernel` (reference: modules/functional/src/voxelization/vox.cu:18-72,
-wrapped at modules/functional/voxelization.py:8-37). Instead of atomicAdd scatter
-(nondeterministic float accumulation), we flatten voxel coordinates to segment ids and
-use a dense one-shot `segment_sum`, which XLA lowers to a deterministic sorted scatter.
-The mean's VJP (gather of grad/count back to points, vox.cu:86-110) falls out of JAX AD
-for free, so no hand-written backward is needed.
+wrapped at modules/functional/voxelization.py:8-37).
 
-Also hosts the coordinate-normalization math of the reference `Voxelization` module
-(modules/voxelization.py:16-25), kept as a pure function so the nn layer stays thin.
+Two interchangeable execution paths behind one custom_vjp:
+  * TPU: a fused Pallas one-hot-matmul scatter (ops/pallas/scatter.py) that runs
+    on the MXU — XLA's native scatter serializes per index and is ~4x slower.
+    Counts come for free by appending a ones-column to the features.
+  * CPU/fallback: `segment_sum`.
+
+Both are deterministic (no atomics, unlike the reference). The backward is the
+reference's `avg_voxelize_grad_kernel` semantics exactly: grad_features[n] =
+grad_out[voxel(n)] / count(voxel(n)) (vox.cu:86-110) — a single N-row gather.
+
+Also hosts the coordinate-normalization math of the reference `Voxelization`
+module (modules/voxelization.py:16-25).
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+from pvcnn_tpu.ops.pallas.scatter import (onehot_scatter_add,
+                                          pallas_scatter_supported)
 
 __all__ = ["avg_voxelize", "normalize_coords"]
 
 
-def _avg_voxelize_single(features: jnp.ndarray, flat_idx: jnp.ndarray, r3: int):
-    """features [N, C], flat_idx [N] int32 -> ([r3, C] mean-pooled, [r3] counts)."""
-    sums = jax.ops.segment_sum(features, flat_idx, num_segments=r3)
-    counts = jax.ops.segment_sum(
-        jnp.ones((features.shape[0],), dtype=jnp.float32), flat_idx, num_segments=r3
-    )
-    means = sums / jnp.maximum(counts, 1.0)[:, None].astype(sums.dtype)
-    return means, counts
+def _scatter_sum(values: jnp.ndarray, idx: jnp.ndarray, num_bins: int):
+    """values [B, N, C], idx [B, N] -> [B, num_bins, C] via the fastest
+    available deterministic scatter."""
+    b, n, c = values.shape
+    if pallas_scatter_supported(num_bins, n, c):
+        return onehot_scatter_add(values, idx, num_bins)
+    return jax.vmap(
+        lambda v, i: jax.ops.segment_sum(v, i, num_segments=num_bins))(values, idx)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _avg_voxelize_flat(features: jnp.ndarray, flat_idx: jnp.ndarray, r3: int):
+    out, _ = _avg_voxelize_fwd(features, flat_idx, r3)
+    return out
+
+
+def _avg_voxelize_fwd(features, flat_idx, r3):
+    ones = jnp.ones(features.shape[:2] + (1,), dtype=features.dtype)
+    summed = _scatter_sum(jnp.concatenate([features, ones], axis=-1), flat_idx,
+                          r3)
+    counts = summed[..., -1]
+    means = summed[..., :-1] / jnp.maximum(counts, 1.0)[..., None].astype(
+        summed.dtype)
+    return means.astype(features.dtype), (flat_idx, counts)
+
+
+def _avg_voxelize_bwd(r3, residuals, g):
+    flat_idx, counts = residuals
+    # gather grad/count back to each point (vox.cu:86-110)
+    scaled = g / jnp.maximum(counts, 1.0)[..., None].astype(g.dtype)
+    grad_features = jnp.take_along_axis(scaled, flat_idx[..., None], axis=1)
+    return grad_features.astype(g.dtype), None
+
+
+_avg_voxelize_flat.defvjp(
+    lambda f, i, r3: _avg_voxelize_fwd(f, i, r3), _avg_voxelize_bwd)
 
 
 def avg_voxelize(features: jnp.ndarray, vox_coords: jnp.ndarray, resolution: int):
@@ -49,7 +88,7 @@ def avg_voxelize(features: jnp.ndarray, vox_coords: jnp.ndarray, resolution: int
     flat_idx = (
         vox_coords[..., 0] * (r * r) + vox_coords[..., 1] * r + vox_coords[..., 2]
     )
-    means, _ = jax.vmap(lambda f, i: _avg_voxelize_single(f, i, r3))(features, flat_idx)
+    means = _avg_voxelize_flat(features, flat_idx, r3)
     return means.reshape(b, r, r, r, c)
 
 
