@@ -43,12 +43,15 @@ def _interpret() -> bool:
     return os.environ.get("PVCNN_TPU_PALLAS_INTERPRET", "0") == "1"
 
 
-def pallas_scatter_supported(num_bins: int, n: int, c: int) -> bool:
+def pallas_scatter_supported(num_bins: int, n: int, c: int,
+                             mm_dtype=None) -> bool:
     if num_bins % TILE_V != 0 or n % 8 != 0:
         return False
-    # VMEM (f32 worst case): out [C, bins] + lo-mask [N, TILE_V] + values [C, N]
+    mask_bytes = 4 if mm_dtype == jnp.float32 else 2
+    # VMEM: out [C, bins] f32 + lo-mask [N, TILE_V] + values [C, N] f32 + idx
     c_pad = max(c, 8)
-    vmem = (c_pad * num_bins + n * TILE_V + c_pad * n + n) * 4
+    vmem = (c_pad * num_bins * 4 + n * TILE_V * mask_bytes + c_pad * n * 4
+            + n * 4)
     if vmem > 10 * 1024 * 1024:
         return False
     if _interpret():

@@ -34,9 +34,12 @@ __all__ = ["avg_voxelize", "normalize_coords"]
 def _scatter_sum(values: jnp.ndarray, idx: jnp.ndarray, num_bins: int):
     """values [B, N, C], idx [B, N] -> [B, num_bins, C] via the fastest
     available deterministic scatter."""
+    from pvcnn_tpu.ops.pallas.scatter import _mm_dtype
+
     b, n, c = values.shape
-    if pallas_scatter_supported(num_bins, n, c):
-        return onehot_scatter_add(values, idx, num_bins)
+    mm_dtype = _mm_dtype()
+    if pallas_scatter_supported(num_bins, n, c, mm_dtype):
+        return onehot_scatter_add(values, idx, num_bins, mm_dtype)
     return jax.vmap(
         lambda v, i: jax.ops.segment_sum(v, i, num_segments=num_bins))(values, idx)
 
