@@ -76,6 +76,9 @@ def _devox_fwd(grid, norm_coords, resolution):
     n = norm_coords.shape[1]
     flat = grid.reshape(b, r * r * r, c)
     idx8, w8 = _corners(norm_coords, r)
+    # one fused 8N-row gather; measured faster than both eight separate takes
+    # and a rolled neighborhood-packing (whose 8x channel copies cost more HBM
+    # traffic than the per-row gather dispatch they save)
     rows = jnp.take_along_axis(flat, idx8.reshape(b, n * 8)[..., None], axis=1)
     rows = rows.reshape(b, n, 8, c)
     out = jnp.sum(rows * w8[..., None].astype(rows.dtype), axis=2)
