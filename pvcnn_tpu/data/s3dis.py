@@ -38,6 +38,8 @@ class _S3DISDataset:
         self.num_scene_windows = 0
         index_to_filename, scene_list, filename_to_start_index = [], {}, {}
         for area in areas:
+            if not os.path.isdir(area):
+                continue
             for scene in sorted(os.listdir(area)):
                 current_scene = os.path.join(area, scene)
                 scene_list[current_scene] = []

@@ -74,6 +74,35 @@ def _run_train(micro_shapenet, tmp_path, extra=()):
         config_mod.configs.clear()
 
 
+def test_train_dml_cli(micro_shapenet, tmp_path):
+    """Deep-mutual-learning CLI: two peers, mutual KL, student checkpoints."""
+    from pvcnn_tpu.utils import config as config_mod
+
+    config_mod.configs.clear()
+    old_argv, old_cwd = sys.argv, os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        sys.argv = ["train_dml.py",
+                    os.path.join(old_cwd, "configs/shapenet/pvcnn/c0p25.py"),
+                    f"--configs.dataset.root={micro_shapenet}",
+                    "--configs.dataset.num_points=32",
+                    "--configs.train.num_epochs=1",
+                    "--configs.train.batch_size=8",
+                    "--configs.train.save_path=dml_out",
+                    "--configs.model.width_multiplier=0.125"]
+        import importlib
+
+        import train_dml as dml_cli
+        importlib.reload(dml_cli)
+        dml_cli.main()
+        assert os.path.exists("dml_out/latest.ckpt")
+        assert os.path.exists("dml_out/latest.ckpt.student")
+    finally:
+        sys.argv = old_argv
+        os.chdir(old_cwd)
+        config_mod.configs.clear()
+
+
 def test_train_and_evaluate_cli(micro_shapenet, tmp_path):
     _run_train(micro_shapenet, tmp_path)
     run_dir = tmp_path / "run_out"
