@@ -142,6 +142,20 @@ def main():
     profile_dir = (os.path.join(configs.train.save_path, "profile")
                    if configs.train.get("profile") else None)
 
+    if state.epoch + 1 >= configs.train.num_epochs:
+        # training already finished: evaluate once and report (reference
+        # train.py:221-229)
+        meters = {}
+        for split, loader in loaders.items():
+            if split == "train":
+                continue
+            split_meters = {k.format(split): meter()
+                            for k, meter in configs.train.meters.items()}
+            meters.update(trainer.evaluate(state, loader, split_meters))
+        for k, v in meters.items():
+            print(f"[{k}] = {v:2f}")
+        return
+
     for current_epoch in range(state.epoch + 1, configs.train.num_epochs):
         print(f"\n==> training epoch {current_epoch}/{configs.train.num_epochs}")
         state, mean_loss = trainer.train_epoch(state, loaders[train_split],
