@@ -24,7 +24,15 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 __all__ = ["load_torch_state_dict", "import_state_dict",
-           "pvcnn_shapenet_mapping", "pvcnn_s3dis_mapping"]
+           "pvcnn_shapenet_mapping", "pvcnn_s3dis_mapping",
+           "pointnet_shapenet_mapping", "pointnet_s3dis_mapping",
+           "pointnet2_shapenet_mapping", "pvcnn2_s3dis_mapping",
+           "frustum_mapping"]
+
+
+def prefixed(entries, torch_prefix: str, flax_prefix: str):
+    return [(f"{torch_prefix}{t}", f"{flax_prefix}{f}", k)
+            for t, f, k in entries]
 
 
 # ---- mapping emitters --------------------------------------------------------
@@ -152,6 +160,255 @@ def pvcnn_s3dis_mapping():
     cls_entries, _ = mlp_classifier_entries([512, 0.3, 256, 0.3, -1],
                                             "classifier", dim=2, counts=counts)
     return entries + cls_entries
+
+
+def _mlp_tail_entries(out_channels, torch_prefix: str, dim: int,
+                      classifier: bool, counts: Dict[str, int]):
+    """create_mlp_components in non-classifier OR classifier form
+    (models/utils.py:15-45)."""
+    if classifier:
+        return mlp_classifier_entries(out_channels, torch_prefix, dim, counts)
+    entries = []
+    i = 0
+    for oc in out_channels:
+        if oc < 1:
+            i += 1
+            continue
+        if dim == 1:
+            k = counts.get("DenseBNReLU", 0)
+            counts["DenseBNReLU"] = k + 1
+            entries += linear_bn_relu_entries(f"{torch_prefix}.{i}",
+                                              f"DenseBNReLU_{k}")
+        else:
+            k = counts.get("SharedMLP", 0)
+            counts["SharedMLP"] = k + 1
+            entries += shared_mlp_entries(f"{torch_prefix}.{i}",
+                                          f"SharedMLP_{k}", 1)
+        i += 1
+    return entries, counts
+
+
+def _sa_module_entries(sa_configs, torch_prefix: str, flax_name: str):
+    """PointNetSAModule / PointNetAModule: `mlps` ModuleList of SharedMLP
+    branches (modules/pointnet.py:22-28, 67-76). Channel lists may be flat or
+    per-scale nested."""
+    num_centers, radius, _, out_channels = sa_configs
+    if not isinstance(out_channels[0], (list, tuple)):
+        branches = [list(out_channels)]
+    else:
+        branches = [list(oc) for oc in out_channels]
+    if num_centers is not None and isinstance(radius, (list, tuple)) \
+            and len(branches) == 1 and len(radius) > 1:
+        branches = branches * len(radius)
+    entries = []
+    for s, branch in enumerate(branches):
+        entries += shared_mlp_entries(f"{torch_prefix}.mlps.{s}",
+                                      f"{flax_name}/SharedMLP_{s}",
+                                      len(branch))
+    return entries
+
+
+def sa_layers_entries(sa_blocks, torch_prefix: str, counts: Dict[str, int],
+                      with_se: bool = False):
+    """create_pointnet2_sa_components layer groups (models/utils.py:67-109):
+    optional PVConv/SharedMLP pre-convs + one SA/A module, Sequential-wrapped in
+    torch when the group has more than one member."""
+    entries = []
+    for i, (conv_configs, sa_configs) in enumerate(sa_blocks):
+        group_prefix = f"{torch_prefix}.{i}"
+        members = 0
+        if conv_configs is not None:
+            _, num_blocks, voxel_resolution = conv_configs
+            for _ in range(num_blocks):
+                tp = f"{group_prefix}.{members}"
+                if voxel_resolution is None:
+                    k = counts.get("SharedMLP", 0)
+                    counts["SharedMLP"] = k + 1
+                    entries += shared_mlp_entries(tp, f"SharedMLP_{k}", 1)
+                else:
+                    k = counts.get("PVConv", 0)
+                    counts["PVConv"] = k + 1
+                    entries += pvconv_entries(tp, f"PVConv_{k}", with_se)
+                members += 1
+        num_centers = sa_configs[0]
+        cls = ("PointNetAModule" if num_centers is None
+               else "PointNetSAModule")
+        k = counts.get(cls, 0)
+        counts[cls] = k + 1
+        sa_tp = f"{group_prefix}.{members}" if members else group_prefix
+        entries += _sa_module_entries(sa_configs, sa_tp, f"{cls}_{k}")
+    return entries, counts
+
+
+def fp_layers_entries(fp_blocks, torch_prefix: str, counts: Dict[str, int],
+                      with_se: bool = False):
+    """create_pointnet2_fp_modules groups (models/utils.py:112-140)."""
+    entries = []
+    for i, (fp_configs, conv_configs) in enumerate(fp_blocks):
+        group_prefix = f"{torch_prefix}.{i}"
+        multi = conv_configs is not None
+        fp_tp = f"{group_prefix}.0" if multi else group_prefix
+        k = counts.get("PointNetFPModule", 0)
+        counts["PointNetFPModule"] = k + 1
+        entries += shared_mlp_entries(f"{fp_tp}.mlp",
+                                      f"PointNetFPModule_{k}/SharedMLP_0",
+                                      len(fp_configs))
+        if multi:
+            _, num_blocks, voxel_resolution = conv_configs
+            for j in range(num_blocks):
+                tp = f"{group_prefix}.{1 + j}"
+                if voxel_resolution is None:
+                    kk = counts.get("SharedMLP", 0)
+                    counts["SharedMLP"] = kk + 1
+                    entries += shared_mlp_entries(tp, f"SharedMLP_{kk}", 1)
+                else:
+                    kk = counts.get("PVConv", 0)
+                    counts["PVConv"] = kk + 1
+                    entries += pvconv_entries(tp, f"PVConv_{kk}", with_se)
+    return entries, counts
+
+
+def pointnet_shapenet_mapping(with_transformer: bool = False):
+    """models/shapenet/pointnet.py:38-82."""
+    blocks = ((True, 64, 1), (False, 128, 2), (True, 512, 1), (False, 2048, 1))
+    entries: list = []
+    counts: Dict[str, int] = {}
+    i = 0
+    for with_t, _, num_blocks in blocks:
+        for bi in range(num_blocks):
+            tp = f"point_features.{i}"
+            if with_t and with_transformer and bi == 0:
+                k = counts.get("Transformer", 0)
+                counts["Transformer"] = k + 1
+                fp = f"Transformer_{k}"
+                for j in range(3):
+                    entries += shared_mlp_entries(
+                        f"{tp}.0.features.{j}", f"{fp}/SharedMLP_{j}", 1)
+                entries += [
+                    (f"{tp}.0.tranformer.0", f"{fp}/DenseBNReLU_0/Dense_0",
+                     "dense"),
+                    (f"{tp}.0.tranformer.1",
+                     f"{fp}/DenseBNReLU_0/BatchNorm_0/BatchNorm_0", "bn"),
+                    (f"{tp}.0.tranformer.3", f"{fp}/DenseBNReLU_1/Dense_0",
+                     "dense"),
+                    (f"{tp}.0.tranformer.4",
+                     f"{fp}/DenseBNReLU_1/BatchNorm_0/BatchNorm_0", "bn"),
+                    (f"{tp}.0.tranformer.6", f"{fp}/Dense_0", "dense"),
+                ]
+                mlp_tp = f"{tp}.1"
+            else:
+                mlp_tp = tp
+            k = counts.get("SharedMLP", 0)
+            counts["SharedMLP"] = k + 1
+            entries += shared_mlp_entries(mlp_tp, f"SharedMLP_{k}", 1)
+            i += 1
+    # classifier: SharedMLP,Dropout,SharedMLP,Dropout,SharedMLP,Conv1d
+    for j, slot in ((0, 0), (1, 2), (2, 4)):
+        k = counts.get("SharedMLP", 0)
+        counts["SharedMLP"] = k + 1
+        entries += shared_mlp_entries(f"classifier.{slot}", f"SharedMLP_{k}", 1)
+    # the final model-level Dense is Dense_1 when a transformer exists? No:
+    # Transformer's Dense lives in its own scope, so the model-level final
+    # classifier layer is Dense_0 either way
+    entries.append(("classifier.5", "Dense_0", "dense"))
+    return entries
+
+
+def pointnet_s3dis_mapping():
+    """models/s3dis/pointnet.py:10-36."""
+    blocks = ((64, 3, None), (128, 1, None), (1024, 1, None))
+    entries, counts = point_blocks_entries(blocks, "point_features",
+                                           with_se=False)
+    for j in range(2):
+        k = counts.get("DenseBNReLU", 0)
+        counts["DenseBNReLU"] = k + 1
+        entries += linear_bn_relu_entries(f"cloud_features.{j}",
+                                          f"DenseBNReLU_{k}")
+    cls_entries, _ = mlp_classifier_entries([512, 256, 0.3, -1], "classifier",
+                                            dim=2, counts=counts)
+    return entries + cls_entries
+
+
+def pointnet2_shapenet_mapping(msg: bool = False):
+    """models/shapenet/pointnetpp.py: SSG/MSG SA + FP + classifier."""
+    from pvcnn_tpu.models.shapenet.pointnetpp import (MSG_FP_BLOCKS,
+                                                      MSG_SA_BLOCKS,
+                                                      SSG_FP_BLOCKS,
+                                                      SSG_SA_BLOCKS)
+
+    sa_blocks = MSG_SA_BLOCKS if msg else SSG_SA_BLOCKS
+    fp_blocks = MSG_FP_BLOCKS if msg else SSG_FP_BLOCKS
+    entries, counts = sa_layers_entries(sa_blocks, "sa_layers", {})
+    fp_entries, counts = fp_layers_entries(fp_blocks, "fp_layers", counts)
+    cls_entries, _ = mlp_classifier_entries([128, 0.5, -1], "classifier",
+                                            dim=2, counts=counts)
+    return entries + fp_entries + cls_entries
+
+
+def pvcnn2_s3dis_mapping():
+    """models/s3dis/pvcnnpp.py: SA groups with PVConv pre-convs (with_se=True),
+    FP groups with PVConv post-convs, classifier."""
+    from pvcnn_tpu.models.s3dis.pvcnnpp import PVCNN2
+
+    entries, counts = sa_layers_entries(PVCNN2.sa_blocks, "sa_layers", {},
+                                        with_se=True)
+    fp_entries, counts = fp_layers_entries(PVCNN2.fp_blocks, "fp_layers",
+                                           counts, with_se=True)
+    cls_entries, _ = mlp_classifier_entries([128, 0.5, -1], "classifier",
+                                            dim=2, counts=counts)
+    return entries + fp_entries + cls_entries
+
+
+def _instance_seg_mapping(variant: str):
+    """segmentation/pointnet.py: point blocks + cloud blocks + classifier."""
+    if variant == "pointnet":
+        point_blocks = ((64, 3, None),)
+        cloud_blocks = ((128, 1, None), (1024, 1, None))
+    else:  # pvcnn
+        point_blocks = ((64, 2, 16), (64, 1, 12), (128, 1, 12),
+                        (1024, 1, None))
+        cloud_blocks = ()
+    entries, counts = point_blocks_entries(point_blocks, "point_features",
+                                           with_se=False)
+    cloud_entries, counts = point_blocks_entries(cloud_blocks,
+                                                 "cloud_features",
+                                                 with_se=False,
+                                                 start_counts=counts)
+    cls_entries, _ = mlp_classifier_entries([512, 256, 128, 128, 0.5, -1],
+                                            "classifier", dim=2, counts=counts)
+    return entries + cloud_entries + cls_entries
+
+
+def _center_reg_mapping():
+    """center_regression_net.py:10-32."""
+    counts: Dict[str, int] = {}
+    entries, counts = _mlp_tail_entries([128, 128, 256], "features", dim=2,
+                                        classifier=False, counts=counts)
+    reg_entries, _ = mlp_classifier_entries([256, 128, -1], "regression",
+                                            dim=1, counts=counts)
+    return entries + reg_entries
+
+
+def _box_est_pointnet_mapping():
+    """box_estimation/pointnet.py:10-47."""
+    blocks = ((128, 2, None), (256, 1, None), (512, 1, None))
+    entries, counts = point_blocks_entries(blocks, "features", with_se=False)
+    cls_entries, _ = mlp_classifier_entries([512, 256, -1], "classifier",
+                                            dim=1, counts=counts)
+    return entries + cls_entries
+
+
+def frustum_mapping(variant: str = "pvcnne"):
+    """models/kitti/frustum/frustum_net.py: inst_seg_net + center_reg_net +
+    box_est_net sub-trees. variant in {'pointnet', 'pvcnne'}."""
+    seg_variant = "pvcnn" if variant == "pvcnne" else "pointnet"
+    entries = prefixed(_instance_seg_mapping(seg_variant), "inst_seg_net.",
+                       "InstanceSegmentationNet_0/")
+    entries += prefixed(_center_reg_mapping(), "center_reg_net.",
+                        "CenterRegressionNet_0/")
+    entries += prefixed(_box_est_pointnet_mapping(), "box_est_net.",
+                        "BoxEstimationPointNet_0/")
+    return entries
 
 
 # ---- state-dict application --------------------------------------------------

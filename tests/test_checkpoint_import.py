@@ -34,7 +34,9 @@ def synthetic_state_dict(mapping, params, batch_stats):
     for torch_prefix, flax_path, kind in mapping:
         if kind == "dense":
             k = get(params, flax_path, "kernel")
-            w = rng.randn(k.shape[1], k.shape[0]).astype(np.float32)
+            # fan-in scaling: keep deep synthetic nets finite in eval mode
+            w = (rng.randn(k.shape[1], k.shape[0])
+                 / np.sqrt(k.shape[0])).astype(np.float32)
             state[f"{torch_prefix}.weight"] = w
             try:
                 b = get(params, flax_path, "bias")
@@ -44,8 +46,10 @@ def synthetic_state_dict(mapping, params, batch_stats):
                 pass
         elif kind == "conv3d":
             k = get(params, flax_path, "kernel")  # [kd,kh,kw,in,out]
-            state[f"{torch_prefix}.weight"] = rng.randn(
-                k.shape[4], k.shape[3], *k.shape[:3]).astype(np.float32)
+            fan_in = k.shape[0] * k.shape[1] * k.shape[2] * k.shape[3]
+            state[f"{torch_prefix}.weight"] = (rng.randn(
+                k.shape[4], k.shape[3], *k.shape[:3])
+                / np.sqrt(fan_in)).astype(np.float32)
             state[f"{torch_prefix}.bias"] = rng.randn(
                 k.shape[4]).astype(np.float32)
         elif kind == "bn":
@@ -59,25 +63,70 @@ def synthetic_state_dict(mapping, params, batch_stats):
     return state
 
 
-@pytest.mark.parametrize("model,mapping_fn,channels", [
-    (shapenet.PVCNN(num_classes=50, num_shapes=16, extra_feature_channels=3),
+from functools import partial  # noqa: E402
+
+from pvcnn_tpu.models.kitti import frustum as kitti_frustum  # noqa: E402
+
+SIZE_TEMPLATES = tuple(
+    tuple(float(v) for v in row)
+    for row in np.abs(np.random.RandomState(7).randn(8, 3)) + 1.0)
+
+
+def _frustum_inputs(channels):
+    rng = np.random.RandomState(0)
+    return {
+        "features": jnp.asarray(rng.randn(1, 64, 4).astype(np.float32)),
+        "one_hot_vectors": jnp.asarray(np.eye(3, dtype=np.float32)[:1]),
+    }
+
+
+@pytest.mark.parametrize("make_model,mapping_fn,channels", [
+    (partial(shapenet.PVCNN, num_classes=50, num_shapes=16,
+             extra_feature_channels=3),
      ci.pvcnn_shapenet_mapping, 6 + 16),
-    (s3dis.PVCNN(num_classes=13, extra_feature_channels=6),
+    (partial(s3dis.PVCNN, num_classes=13, extra_feature_channels=6),
      ci.pvcnn_s3dis_mapping, 9),
+    (partial(shapenet.PointNet, num_classes=50, num_shapes=16,
+             with_transformer=True, extra_feature_channels=0),
+     partial(ci.pointnet_shapenet_mapping, with_transformer=True), 3 + 16),
+    (partial(s3dis.PointNet, num_classes=13, extra_feature_channels=6),
+     ci.pointnet_s3dis_mapping, 9),
+    (partial(shapenet.pointnet2_ssg, num_classes=50, num_shapes=16),
+     partial(ci.pointnet2_shapenet_mapping, msg=False), 6),
+    (partial(shapenet.pointnet2_msg, num_classes=50, num_shapes=16),
+     partial(ci.pointnet2_shapenet_mapping, msg=True), 6 + 16),
+    (partial(s3dis.PVCNN2, num_classes=13, extra_feature_channels=6),
+     ci.pvcnn2_s3dis_mapping, 9),
+    (partial(kitti_frustum.FrustumPVCNNE, num_classes=3,
+             num_heading_angle_bins=12, num_size_templates=8,
+             num_points_per_object=32, size_templates=SIZE_TEMPLATES),
+     partial(ci.frustum_mapping, variant="pvcnne"), None),
+    (partial(kitti_frustum.FrustumPointNet, num_classes=3,
+             num_heading_angle_bins=12, num_size_templates=8,
+             num_points_per_object=32, size_templates=SIZE_TEMPLATES),
+     partial(ci.frustum_mapping, variant="pointnet"), None),
 ])
-def test_structural_import(model, mapping_fn, channels):
-    x = np.random.RandomState(0).randn(1, 64, channels).astype(np.float32)
-    variables = model.init({"params": jax.random.PRNGKey(0),
-                            "dropout": jax.random.PRNGKey(1)}, x, train=False)
+def test_structural_import(make_model, mapping_fn, channels):
+    model = make_model()
+    if channels is None:
+        x = _frustum_inputs(channels)
+    else:
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(1, 64, channels).astype(np.float32))
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+            "sample": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, x, train=False)
     mapping = mapping_fn()
     state = synthetic_state_dict(mapping, variables["params"],
                                  variables["batch_stats"])
     params, batch_stats = ci.import_state_dict(
         state, variables["params"], variables["batch_stats"], mapping)
     out = model.apply({"params": params, "batch_stats": batch_stats}, x,
-                      train=False)
-    assert np.isfinite(np.asarray(out)).all()
-    # every dense/conv kernel in the model must have been replaced
+                      train=False,
+                      rngs={k: v for k, v in rngs.items() if k != "params"})
+    leaves = jax.tree.leaves(out)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # every parameter in the model must have been replaced
     before = jax.tree.leaves(variables["params"])
     after = jax.tree.leaves(params)
     changed = sum(
