@@ -18,7 +18,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch",
-           "pad_batch", "unpad"]
+           "pad_batch", "unpad", "partition_params"]
 
 
 def make_mesh(num_devices: Optional[int] = None, model_axis: int = 1) -> Mesh:
@@ -41,6 +41,33 @@ def shard_batch(batch: Any, mesh: Mesh):
     """Device-put every array leaf with its leading axis split over `data`."""
     sharding = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def partition_params(params: Any, mesh: Mesh, min_dim: int = 256):
+    """Tensor-parallel parameter layout over the `model` mesh axis.
+
+    Kernels whose output dim is large (>= min_dim) and divisible by the model
+    axis are sharded column-wise (P(..., 'model')); everything else replicates.
+    With the batch sharded over `data` and these kernels over `model`, XLA
+    inserts the matching collectives (all-gather on activations, reduce-scatter
+    on their grads) automatically inside the jitted step — this is how variants
+    too wide for one chip's HBM would scale, and it is exercised on the virtual
+    CPU mesh in tests and the driver's multi-chip dry run.
+    """
+    model_size = mesh.shape["model"]
+
+    def spec_for(path, x):
+        if (model_size > 1 and hasattr(x, "ndim") and x.ndim >= 2
+                and path and path[-1].key == "kernel"
+                and x.shape[-1] >= min_dim and x.shape[-1] % model_size == 0):
+            return NamedSharding(
+                mesh, P(*([None] * (x.ndim - 1)), "model"))
+        return replicated(mesh)
+
+    import jax.tree_util as jtu
+
+    return jtu.tree_map_with_path(
+        lambda path, x: jax.device_put(x, spec_for(path, x)), params)
 
 
 def pad_batch(batch: Any, multiple: int):

@@ -44,7 +44,12 @@ class Trainer:
 
     def __init__(self, model, criterion, tx, mesh=None, seed: int = 0,
                  has_sample_rng: bool = False,
-                 eval_matmul_precision: str = "float32"):
+                 eval_matmul_precision: str = "float32",
+                 tensor_parallel: bool = False):
+        # tensor_parallel: shard wide kernels over the mesh's `model` axis
+        # (parallel/mesh.py partition_params); off by default — every reference
+        # config fits one chip, data parallelism is the parity story
+        self.tensor_parallel = tensor_parallel
         self.model = model
         self.criterion = criterion
         self.tx = tx
@@ -70,6 +75,13 @@ class Trainer:
         variables = self.model.init(rngs, example_inputs, train=False)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        if self.tensor_parallel:
+            params = pmesh.partition_params(params, self.mesh)
+            opt_state = jax.jit(self.tx.init)(params)  # inherits param layout
+            batch_stats = jax.device_put(batch_stats,
+                                         pmesh.replicated(self.mesh))
+            return TrainState(params=params, batch_stats=batch_stats,
+                              opt_state=opt_state)
         opt_state = self.tx.init(params)
         state = TrainState(params=params, batch_stats=batch_stats,
                            opt_state=opt_state)

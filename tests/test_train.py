@@ -110,3 +110,28 @@ def test_graft_entry_single():
     fn, args = entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (args[0].shape[0], args[0].shape[1], 50)
+
+
+def test_tensor_parallel_partitioning():
+    """2-D mesh: wide kernels sharded over `model`, step still runs."""
+    mesh = pmesh.make_mesh(8, model_axis=2)
+    model = s3dis.PVCNN(num_classes=NUM_CLASSES, extra_feature_channels=6,
+                        width_multiplier=1.0)
+    tx, _ = Adam(1e-3)
+    trainer = Trainer(model, CrossEntropyLoss(), tx, mesh=mesh, seed=0,
+                      tensor_parallel=True)
+    state = trainer.init_state(np.zeros((1, N, C_IN), np.float32))
+    # at width 1.0 the 1024-wide blocks must be sharded over the model axis
+    sharded = [
+        p for p in jax.tree.leaves(
+            jax.tree.map(lambda x: x.sharding.spec, state.params,
+                         is_leaf=lambda x: hasattr(x, "sharding")))
+        if "model" in str(p)
+    ]
+    assert sharded, "no parameter was tensor-parallel sharded"
+    rng = np.random.RandomState(0)
+    batch = pmesh.shard_batch(
+        (rng.randn(8, N, C_IN).astype(np.float32),
+         rng.randint(0, NUM_CLASSES, size=(8, N))), mesh)
+    state, loss = trainer._train_step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))

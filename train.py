@@ -22,9 +22,15 @@ def prepare():
     parser = argparse.ArgumentParser()
     parser.add_argument("configs", nargs="+")
     parser.add_argument("--devices", default=None,
-                        help="unused on TPU; kept for CLI compatibility")
+                        help="'cpu' forces the CPU backend; otherwise JAX uses "
+                             "every visible accelerator (reference used "
+                             "CUDA_VISIBLE_DEVICES, utils/device.py:6-21)")
     parser.add_argument("--evaluate", default=False, action="store_true")
     args, opts = parser.parse_known_args()
+    if args.devices == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     print(f"==> loading configs from {args.configs}")
     configs.update_from_modules(*args.configs)
