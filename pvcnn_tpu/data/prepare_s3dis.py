@@ -80,6 +80,30 @@ def _grid_resample(point_indices, xyz, grid_size):
     return np.array(out)
 
 
+def save_ply(path: str, points: np.ndarray, colors: np.ndarray | None = None):
+    """Minimal binary-little-endian PLY writer (the reference's optional
+    --save_ply used the plyfile package; this has no extra dependency)."""
+    n = points.shape[0]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    props = ["property float x", "property float y", "property float z"]
+    if colors is not None:
+        props += ["property uchar red", "property uchar green",
+                  "property uchar blue"]
+    header = "\n".join([
+        "ply", "format binary_little_endian 1.0", f"element vertex {n}",
+        *props, "end_header", ""])
+    if colors is not None:
+        dtype = np.dtype([("xyz", "<f4", 3), ("rgb", "u1", 3)])
+        rec = np.empty(n, dtype=dtype)
+        rec["xyz"] = points.astype("<f4")
+        rec["rgb"] = np.clip(colors, 0, 255).astype("u1")
+    else:
+        rec = points.astype("<f4")
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(rec.tobytes())
+
+
 def prepare_windows(root: str, max_num_points=8192, block_size=1.5,
                     grid_size=0.03):
     import h5py
