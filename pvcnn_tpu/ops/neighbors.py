@@ -63,7 +63,8 @@ def ball_query(centers_coords: jnp.ndarray, points_coords: jnp.ndarray, radius: 
 
 def grouping(features: jnp.ndarray, indices: jnp.ndarray):
     """Gather neighborhoods: features [B, N, C], indices [B, M, U] -> [B, M, U, C]."""
+    from pvcnn_tpu.ops.gather_utils import take_rows
+
     b, m, u = indices.shape
-    flat = indices.reshape(b, m * u)
-    gathered = jnp.take_along_axis(features, flat[..., None], axis=1)
+    gathered = take_rows(features, indices.reshape(b, m * u))
     return gathered.reshape(b, m, u, features.shape[-1])

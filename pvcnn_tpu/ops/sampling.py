@@ -58,7 +58,9 @@ def furthest_point_sample_indices(coords: jnp.ndarray, num_samples: int):
 
 def gather(features: jnp.ndarray, indices: jnp.ndarray):
     """features [B, N, C], indices [B, M] -> [B, M, C]."""
-    return jnp.take_along_axis(features, indices[..., None].astype(jnp.int32), axis=1)
+    from pvcnn_tpu.ops.gather_utils import take_rows
+
+    return take_rows(features, indices)
 
 
 def furthest_point_sample(coords: jnp.ndarray, num_samples: int):

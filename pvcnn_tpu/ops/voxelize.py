@@ -63,8 +63,10 @@ def _avg_voxelize_fwd(features, flat_idx, r3):
 def _avg_voxelize_bwd(r3, residuals, g):
     flat_idx, counts = residuals
     # gather grad/count back to each point (vox.cu:86-110)
+    from pvcnn_tpu.ops.gather_utils import take_rows
+
     scaled = g / jnp.maximum(counts, 1.0)[..., None].astype(g.dtype)
-    grad_features = jnp.take_along_axis(scaled, flat_idx[..., None], axis=1)
+    grad_features = take_rows(scaled, flat_idx)
     return grad_features.astype(g.dtype), None
 
 
