@@ -25,26 +25,29 @@ __all__ = ["ball_query", "grouping"]
 
 def _ball_query_single(centers: jnp.ndarray, points: jnp.ndarray, radius2: float,
                        u: int):
-    """centers [M, 3], points [N, 3] -> neighbor indices [M, U] int32."""
-    n = points.shape[0]
+    """centers [M, 3], points [N, 3] -> neighbor indices [M, U] int32.
+
+    The first U in-radius points *in point order* are the U smallest point ids
+    among the hits, so a top-k over (negated) masked point ids reproduces the
+    CUDA scan exactly — and lowers to a vectorized TPU sort instead of the
+    serialized M x N scatter a slot-routing formulation would emit.
+    """
+    m, n = centers.shape[0], points.shape[0]
     d2 = jnp.sum((centers[:, None, :] - points[None, :, :]) ** 2, axis=-1)  # [M, N]
     mask = d2 < radius2
-    # rank of each in-radius point among the hits of its center, in point order
-    rank = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1                    # [M, N]
-    # first hit (argmax picks the first True; all-False gives 0, matching the
-    # zero-initialized output buffer of the reference)
-    first_hit = jnp.argmax(mask, axis=1).astype(jnp.int32)                   # [M]
-    point_ids = jax.lax.broadcasted_iota(jnp.int32, (centers.shape[0], n), 1)
-    # route each hit to its slot; non-hits and overflow (rank >= U) go to slot U,
-    # which we allocate then drop
-    slot = jnp.where(mask, jnp.minimum(rank, u), u)
-    init = jnp.broadcast_to(first_hit[:, None], (centers.shape[0], u + 1))
-    out = init.at[
-        jax.lax.broadcasted_iota(jnp.int32, slot.shape, 0), slot
-    ].max(point_ids, mode="drop")
-    # `.max` with init=first_hit: for slots < count the routed id is unique, and it is
-    # >= first_hit by construction (point order), so max == the routed id.
-    return out[:, :u]
+    point_ids = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
+    key = jnp.where(mask, point_ids, n)          # misses sort after every hit
+    k = min(u, n)
+    neg_top, _ = jax.lax.top_k(-key, k)          # largest -key = smallest ids
+    sel = (-neg_top).astype(jnp.int32)           # [M, k], ascending point order
+    if k < u:
+        sel = jnp.pad(sel, ((0, 0), (0, u - k)), constant_values=n)
+    count = jnp.sum(mask, axis=1).astype(jnp.int32)                          # [M]
+    # first hit pre-fills every slot; zero when there is no hit at all,
+    # matching the reference's zero-initialized buffer (ball_query.cpp:22-25)
+    first_hit = jnp.where(count > 0, sel[:, 0], 0)
+    slots = jax.lax.broadcasted_iota(jnp.int32, (m, u), 1)
+    return jnp.where(slots < count[:, None], sel, first_hit[:, None])
 
 
 def ball_query(centers_coords: jnp.ndarray, points_coords: jnp.ndarray, radius: float,
