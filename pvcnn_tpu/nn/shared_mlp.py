@@ -12,25 +12,58 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 __all__ = ["SharedMLP", "BatchNorm", "DenseBNReLU"]
 
 
 class BatchNorm(nn.Module):
-    """torch-flavored BatchNorm over the last axis (momentum 0.1, torch convention)."""
+    """BatchNorm over the last axis with exact torch semantics.
+
+    flax's nn.BatchNorm updates the running variance with the *biased* batch
+    variance; torch normalizes with the biased variance but tracks the
+    *unbiased* one (x n/(n-1)) in running_var — an observable difference when
+    importing/exporting checkpoints mid-training, so we implement it directly.
+    torch defaults: momentum 0.1, eps 1e-5 (1e-4 inside PVConv's 3-D stack,
+    reference modules/pvconv.py:22,25). Statistics are computed in fp32.
+    """
 
     epsilon: float = 1e-5
+    momentum: float = 0.1
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,  # torch momentum=0.1 -> flax momentum = 1 - 0.1
-            epsilon=self.epsilon,
-            dtype=self.dtype,
-        )(x)
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                          jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((features,), jnp.float32))
+
+        if train:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            if not self.is_initializing():
+                n = 1
+                for d in x.shape[:-1]:
+                    n *= d
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype or x.dtype)
 
 
 class SharedMLP(nn.Module):

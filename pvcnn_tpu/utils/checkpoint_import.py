@@ -50,14 +50,14 @@ def shared_mlp_entries(torch_prefix: str, flax_prefix: str,
         out.append((f"{torch_prefix}.layers.{3 * k}",
                     f"{flax_prefix}/Dense_{k}", "dense"))
         out.append((f"{torch_prefix}.layers.{3 * k + 1}",
-                    f"{flax_prefix}/BatchNorm_{k}/BatchNorm_0", "bn"))
+                    f"{flax_prefix}/BatchNorm_{k}", "bn"))
     return out
 
 
 def linear_bn_relu_entries(torch_prefix: str, flax_prefix: str):
     """Reference _linear_bn_relu Sequential (models/utils.py:11-12)."""
     return [(f"{torch_prefix}.0", f"{flax_prefix}/Dense_0", "dense"),
-            (f"{torch_prefix}.1", f"{flax_prefix}/BatchNorm_0/BatchNorm_0",
+            (f"{torch_prefix}.1", f"{flax_prefix}/BatchNorm_0",
              "bn")]
 
 
@@ -67,10 +67,10 @@ def pvconv_entries(torch_prefix: str, flax_prefix: str, with_se: bool):
     out = [
         (f"{torch_prefix}.voxel_layers.0", f"{flax_prefix}/Conv_0", "conv3d"),
         (f"{torch_prefix}.voxel_layers.1",
-         f"{flax_prefix}/BatchNorm_0/BatchNorm_0", "bn"),
+         f"{flax_prefix}/BatchNorm_0", "bn"),
         (f"{torch_prefix}.voxel_layers.3", f"{flax_prefix}/Conv_1", "conv3d"),
         (f"{torch_prefix}.voxel_layers.4",
-         f"{flax_prefix}/BatchNorm_1/BatchNorm_0", "bn"),
+         f"{flax_prefix}/BatchNorm_1", "bn"),
     ]
     if with_se:
         out.append((f"{torch_prefix}.voxel_layers.6.fc.0",
@@ -288,11 +288,11 @@ def pointnet_shapenet_mapping(with_transformer: bool = False):
                     (f"{tp}.0.tranformer.0", f"{fp}/DenseBNReLU_0/Dense_0",
                      "dense"),
                     (f"{tp}.0.tranformer.1",
-                     f"{fp}/DenseBNReLU_0/BatchNorm_0/BatchNorm_0", "bn"),
+                     f"{fp}/DenseBNReLU_0/BatchNorm_0", "bn"),
                     (f"{tp}.0.tranformer.3", f"{fp}/DenseBNReLU_1/Dense_0",
                      "dense"),
                     (f"{tp}.0.tranformer.4",
-                     f"{fp}/DenseBNReLU_1/BatchNorm_0/BatchNorm_0", "bn"),
+                     f"{fp}/DenseBNReLU_1/BatchNorm_0", "bn"),
                     (f"{tp}.0.tranformer.6", f"{fp}/Dense_0", "dense"),
                 ]
                 mlp_tp = f"{tp}.1"

@@ -191,3 +191,28 @@ def test_conv3d_matches_torch():
     got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(got.transpose(0, 4, 1, 2, 3), want, rtol=1e-4,
                                atol=1e-4)
+
+
+def test_batchnorm_unbiased_running_var_matches_torch():
+    """Training-mode BN must track the unbiased variance like torch."""
+    from pvcnn_tpu.nn import BatchNorm
+
+    b, n, c = 4, 16, 3
+    x = np.random.RandomState(3).randn(b, n, c).astype(np.float32)
+    tb = torch.nn.BatchNorm1d(c)
+    tb.train()
+    with torch.no_grad():
+        t_out = tb(torch.from_numpy(x.transpose(0, 2, 1))).numpy()
+
+    model = BatchNorm()
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    out, mutated = model.apply(variables, jnp.asarray(x), train=True,
+                               mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 2, 1), t_out,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["mean"]),
+        tb.running_mean.numpy(), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["var"]),
+        tb.running_var.numpy(), rtol=1e-4, atol=1e-6)
