@@ -33,11 +33,8 @@ def main():
     from pvcnn_tpu.train.optim import Adam
     from pvcnn_tpu.train.trainer import Trainer
 
-    on_tpu = jax.default_backend() == "tpu"
-    dtype = None  # params fp32; XLA uses MXU-friendly layouts either way
-
     model = PVCNN(num_classes=50, num_shapes=16, extra_feature_channels=3,
-                  width_multiplier=0.25, dtype=dtype)
+                  width_multiplier=0.25)
     tx, _ = Adam(1e-3)
     trainer = Trainer(model, CrossEntropyLoss(), tx)
 

@@ -74,7 +74,6 @@ def evaluate(configs):
     import optax
 
     from pvcnn_tpu.data.loader import DataLoader
-    from pvcnn_tpu.parallel import mesh as pmesh
     from pvcnn_tpu.train.trainer import Trainer, load_checkpoint
 
     num_tests = int(configs.evaluate.get("num_tests", 1))

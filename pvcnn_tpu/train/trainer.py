@@ -12,12 +12,10 @@ from __future__ import annotations
 
 import os
 import shutil
-from functools import partial
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import flax
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from pvcnn_tpu.parallel import mesh as pmesh
