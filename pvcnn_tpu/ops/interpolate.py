@@ -42,8 +42,24 @@ def _three_nn_single(points: jnp.ndarray, centers: jnp.ndarray):
     return idx.astype(jnp.int32), w
 
 
+def _weights_from_d2(best: jnp.ndarray):
+    """Inverse-distance weights with the reference clamps
+    (neighbor_interpolate.cu:61-67); best [..., 3] squared distances."""
+    best = jnp.clip(best, 1e-10, 1e10)
+    d0, d1, d2_ = best[..., 0], best[..., 1], best[..., 2]
+    denom = d0 * d1 + d0 * d2_ + d1 * d2_
+    return jnp.stack([d1 * d2_, d0 * d2_, d0 * d1], axis=-1) / denom[..., None]
+
+
 def three_nn(points_coords: jnp.ndarray, centers_coords: jnp.ndarray):
     """[B, N, 3], [B, M, 3] -> (indices [B, N, 3] int32, weights [B, N, 3] float)."""
+    from pvcnn_tpu.ops.pallas.select import (pallas_select_supported,
+                                             three_nn_pallas)
+
+    n, m = points_coords.shape[1], centers_coords.shape[1]
+    if pallas_select_supported(n, m):
+        idx, d2 = three_nn_pallas(points_coords, centers_coords)
+        return idx, _weights_from_d2(d2)
     return jax.vmap(_three_nn_single)(points_coords, centers_coords)
 
 

@@ -58,8 +58,19 @@ def ball_query(centers_coords: jnp.ndarray, points_coords: jnp.ndarray, radius: 
     Returns:
       [B, M, U] int32 neighbor indices into the N points.
     """
+    from pvcnn_tpu.ops.pallas.select import (ball_query_pallas,
+                                             pallas_select_supported)
+
     r2 = float(radius) ** 2
-    return jax.vmap(lambda c, p: _ball_query_single(c, p, r2, int(num_neighbors)))(
+    u = int(num_neighbors)
+    m, n = centers_coords.shape[1], points_coords.shape[1]
+    if pallas_select_supported(m, n) and u <= n:
+        sel = ball_query_pallas(centers_coords, points_coords, r2, u)
+        # sentinel N marks slots past the hit count; pre-fill with the first
+        # hit, or zero when the center has no hits (ball_query.cpp:22-25)
+        first = jnp.where(sel[..., :1] < n, sel[..., :1], 0)
+        return jnp.where(sel < n, sel, first)
+    return jax.vmap(lambda c, p: _ball_query_single(c, p, r2, u))(
         centers_coords, points_coords
     )
 

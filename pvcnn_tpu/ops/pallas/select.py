@@ -1,0 +1,157 @@
+"""Pallas TPU kernels: fused neighbor selection (ball query + 3-NN).
+
+XLA lowers `lax.top_k` on TPU to a full per-row sort — at PVCNN2 scale
+(M=1024 centers x N=8192 points) that is ~40 ms/step for ball query and ~17 ms
+for 3-NN, plus ~20 ms materializing the [B, M, N] distance matrices in HBM.
+These kernels compute distances tile-by-tile in VMEM from the raw coordinates
+and extract the needed minima iteratively (k passes of a lane-min reduce), so
+nothing square ever touches HBM.
+
+Semantics are the reference CUDA kernels' exactly:
+  * ball query (ball_query.cu:19-50): first U in-radius points in point order ==
+    the U smallest in-radius point ids; misses yield sentinel N for the caller's
+    first-hit fill.
+  * 3-NN (neighbor_interpolate.cu:38-60): 3 smallest squared distances with
+    low-index tie-breaking (the insertion cascade's strict `<`).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["ball_query_pallas", "three_nn_pallas", "pallas_select_supported"]
+
+TILE_ROWS = 16
+
+
+def _interpret() -> bool:
+    return os.environ.get("PVCNN_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
+def pallas_select_supported(num_rows: int, num_cols: int) -> bool:
+    """rows = queries per item, cols = candidates scanned per query."""
+    if num_rows % TILE_ROWS != 0:
+        return False
+    # VMEM: candidate coords [3, cols] + key tile [TILE_ROWS, cols]
+    if (3 * num_cols + TILE_ROWS * num_cols) * 4 > 8 * 1024 * 1024:
+        return False
+    if _interpret():
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _dist2_tile(q_ref, c_ref):
+    """q_ref [1, TM, 3] query coords; c_ref [1, 3, L] candidate coords ->
+    squared distances [TM, L]."""
+    tm = q_ref.shape[1]
+    l = c_ref.shape[2]
+    qx = q_ref[0, :, 0:1]                      # [TM, 1]
+    qy = q_ref[0, :, 1:2]
+    qz = q_ref[0, :, 2:3]
+    cx = c_ref[0, 0:1, :]                      # [1, L]
+    cy = c_ref[0, 1:2, :]
+    cz = c_ref[0, 2:3, :]
+    return ((qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2)
+
+
+def _ball_query_kernel(radius2, u, centers_ref, points_ref, out_ref):
+    # centers_ref [1, TM, 3]; points_ref [1, 3, N]; out_ref [1, TM, U] int32
+    n = points_ref.shape[2]
+    tm = centers_ref.shape[1]
+    d2 = _dist2_tile(centers_ref, points_ref)                  # [TM, N]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (tm, n), 1)
+    key = jnp.where(d2 < radius2, lanes, n)                    # id or sentinel N
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tm, u), 1)
+
+    def body(j, carry):
+        key, out = carry
+        cur = jnp.min(key, axis=1, keepdims=True)              # [TM, 1]
+        out = jnp.where(cols == j, cur, out)
+        key = jnp.where(key == cur, n, key)
+        return key, out
+
+    out0 = jnp.full((tm, u), n, dtype=jnp.int32)
+    _, out = jax.lax.fori_loop(0, u, body, (key, out0))
+    out_ref[...] = out.reshape(1, tm, u)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def ball_query_pallas(centers_coords, points_coords, radius2: float, u: int):
+    """[B, M, 3] x [B, N, 3] -> [B, M, U] int32; misses hold sentinel N."""
+    b, m, _ = centers_coords.shape
+    n = points_coords.shape[1]
+    points_t = jnp.transpose(points_coords, (0, 2, 1)).astype(jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_ball_query_kernel, float(radius2), u),
+        out_shape=jax.ShapeDtypeStruct((b, m, u), jnp.int32),
+        grid=(b, m // TILE_ROWS),
+        in_specs=[
+            pl.BlockSpec((1, TILE_ROWS, 3), lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_ROWS, u), lambda i, t: (i, t, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(centers_coords.astype(jnp.float32), points_t)
+
+
+def _three_nn_kernel(points_ref, centers_ref, idx_ref, val_ref):
+    # points_ref [1, TN, 3] queries; centers_ref [1, 3, M];
+    # idx_ref [1, TN, 3] int32; val_ref [1, TN, 3] f32
+    m = centers_ref.shape[2]
+    tn = points_ref.shape[1]
+    d2 = _dist2_tile(points_ref, centers_ref).astype(jnp.float32)  # [TN, M]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (tn, m), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tn, 3), 1)
+
+    def body(j, carry):
+        d2, idx, val = carry
+        cur = jnp.min(d2, axis=1, keepdims=True)               # [TN, 1]
+        lane = jnp.min(jnp.where(d2 == cur, lanes, m), axis=1,
+                       keepdims=True)                          # low-index ties
+        idx = jnp.where(cols == j, lane, idx)
+        val = jnp.where(cols == j, cur, val)
+        d2 = jnp.where(lanes == lane, jnp.float32(1e40), d2)
+        return d2, idx, val
+
+    idx0 = jnp.zeros((tn, 3), dtype=jnp.int32)
+    val0 = jnp.full((tn, 3), 1e40, dtype=jnp.float32)
+    _, idx, val = jax.lax.fori_loop(0, min(3, m), body, (d2, idx0, val0))
+    idx_ref[...] = idx.reshape(1, tn, 3)
+    val_ref[...] = val.reshape(1, tn, 3)
+
+
+@jax.jit
+def three_nn_pallas(points_coords, centers_coords):
+    """[B, N, 3] x [B, M, 3] -> (idx [B, N, 3] int32, d2 [B, N, 3] f32);
+    unfilled slots (M < 3) keep idx 0 / d2 1e40 like the CUDA cascade."""
+    b, n, _ = points_coords.shape
+    m = centers_coords.shape[1]
+    centers_t = jnp.transpose(centers_coords, (0, 2, 1)).astype(jnp.float32)
+    return pl.pallas_call(
+        _three_nn_kernel,
+        out_shape=(jax.ShapeDtypeStruct((b, n, 3), jnp.int32),
+                   jax.ShapeDtypeStruct((b, n, 3), jnp.float32)),
+        grid=(b, n // TILE_ROWS),
+        in_specs=[
+            pl.BlockSpec((1, TILE_ROWS, 3), lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, m), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, TILE_ROWS, 3), lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_ROWS, 3), lambda i, t: (i, t, 0),
+                        memory_space=pltpu.VMEM),
+        ),
+        interpret=_interpret(),
+    )(points_coords.astype(jnp.float32), centers_t)
