@@ -48,11 +48,12 @@ def pallas_scatter_supported(num_bins: int, n: int, c: int,
     if num_bins % TILE_V != 0 or n % 8 != 0:
         return False
     mask_bytes = 4 if mm_dtype == jnp.float32 else 2
-    # VMEM: out [C, bins] f32 + lo-mask [N, TILE_V] + values [C, N] f32 + idx
+    # VMEM: in/out blocks are double-buffered by the Mosaic pipeline, scratch is
+    # not: 2x (out [C, bins] f32 + values [C, N] f32 + idx) + lo-mask [N, TILE_V]
     c_pad = max(c, 8)
-    vmem = (c_pad * num_bins * 4 + n * TILE_V * mask_bytes + c_pad * n * 4
-            + n * 4)
-    if vmem > 10 * 1024 * 1024:
+    vmem = (2 * (c_pad * num_bins * 4 + c_pad * n * 4 + n * 4)
+            + n * TILE_V * mask_bytes)
+    if vmem > 14 * 1024 * 1024:
         return False
     if _interpret():
         return True

@@ -33,13 +33,19 @@ __all__ = ["avg_voxelize", "normalize_coords"]
 
 def _scatter_sum(values: jnp.ndarray, idx: jnp.ndarray, num_bins: int):
     """values [B, N, C], idx [B, N] -> [B, num_bins, C] via the fastest
-    available deterministic scatter."""
+    available deterministic scatter. Large N is halved recursively until the
+    Pallas kernel's VMEM budget fits (scatters are additive)."""
     from pvcnn_tpu.ops.pallas.scatter import _mm_dtype
 
     b, n, c = values.shape
     mm_dtype = _mm_dtype()
     if pallas_scatter_supported(num_bins, n, c, mm_dtype):
         return onehot_scatter_add(values, idx, num_bins, mm_dtype)
+    if (num_bins % 128 == 0 and n % 2 == 0 and n > 4096
+            and pallas_scatter_supported(num_bins, n // 2, c, mm_dtype)):
+        h = n // 2
+        return (_scatter_sum(values[:, :h], idx[:, :h], num_bins)
+                + _scatter_sum(values[:, h:], idx[:, h:], num_bins))
     return jax.vmap(
         lambda v, i: jax.ops.segment_sum(v, i, num_segments=num_bins))(values, idx)
 
