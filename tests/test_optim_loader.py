@@ -1,0 +1,116 @@
+"""Optimizer/scheduler parity vs torch, and DataLoader behavior."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from pvcnn_tpu.data.loader import DataLoader  # noqa: E402
+from pvcnn_tpu.train import optim as optim_mod  # noqa: E402
+from pvcnn_tpu.train.optim import (Adam, CosineAnnealingLR, MultiStepLR,  # noqa: E402
+                                   StepLR, set_learning_rate)
+
+
+class TestAdamParity:
+    @pytest.mark.parametrize("weight_decay", [0.0, 1e-2])
+    def test_matches_torch_adam(self, rng, weight_decay):
+        w0 = rng.randn(4, 3).astype(np.float32)
+        grads = [rng.randn(4, 3).astype(np.float32) for _ in range(5)]
+
+        tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+        topt = torch.optim.Adam([tw], lr=1e-3, weight_decay=weight_decay)
+        for g in grads:
+            topt.zero_grad()
+            tw.grad = torch.from_numpy(g.copy())
+            topt.step()
+
+        tx, _ = Adam(1e-3, weight_decay=weight_decay)
+        params = {"w": jnp.asarray(w0)}
+        opt_state = tx.init(params)
+        for g in grads:
+            updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state,
+                                           params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+        np.testing.assert_allclose(np.asarray(params["w"]),
+                                   tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+    def test_set_learning_rate_changes_updates(self, rng):
+        tx, _ = Adam(1e-3)
+        params = {"w": jnp.ones((2,))}
+        opt_state = tx.init(params)
+        g = {"w": jnp.ones((2,))}
+        upd1, st = tx.update(g, opt_state, params)
+        set_learning_rate(st, 1e-1)
+        upd2, _ = tx.update(g, st, params)
+        assert abs(float(upd2["w"][0])) > abs(float(upd1["w"][0])) * 50
+
+
+class TestSchedulers:
+    def test_match_torch(self):
+        base = 1e-3
+        tw = torch.nn.Parameter(torch.zeros(1))
+
+        for ours, make_torch in [
+            (CosineAnnealingLR(t_max=50).bind(base),
+             lambda o: torch.optim.lr_scheduler.CosineAnnealingLR(o, T_max=50)),
+            (StepLR(step_size=20, gamma=0.5).bind(base),
+             lambda o: torch.optim.lr_scheduler.StepLR(o, 20, 0.5)),
+            (MultiStepLR([5, 10, 15], gamma=0.5).bind(base),
+             lambda o: torch.optim.lr_scheduler.MultiStepLR(o, [5, 10, 15], 0.5)),
+        ]:
+            topt = torch.optim.SGD([tw], lr=base)
+            tsched = make_torch(topt)
+            for epoch in range(30):
+                want = topt.param_groups[0]["lr"]
+                assert ours(epoch) == pytest.approx(want, rel=1e-6), \
+                    (type(ours).__name__, epoch)
+                tsched.step()
+
+
+class TestDataLoader:
+    def _dataset(self, n=10):
+        return [(np.full((4, 2), i, np.float32), np.int64(i)) for i in range(n)]
+
+    def test_batching_and_collation(self):
+        loader = DataLoader(self._dataset(), batch_size=4, prefetch=0)
+        batches = list(loader)
+        assert len(batches) == 3
+        x, y = batches[0]
+        assert x.shape == (4, 4, 2) and y.shape == (4,)
+        x, y = batches[-1]
+        assert x.shape == (2, 4, 2)  # partial tail kept
+
+    def test_drop_last(self):
+        loader = DataLoader(self._dataset(), batch_size=4, drop_last=True,
+                            prefetch=0)
+        assert len(loader) == 2 and len(list(loader)) == 2
+
+    def test_shuffle_differs_per_epoch_but_seeded(self):
+        a = DataLoader(self._dataset(), batch_size=10, shuffle=True, seed=7)
+        e1 = next(iter(a))[1].tolist()
+        e2 = next(iter(a))[1].tolist()
+        assert e1 != e2  # reshuffled across epochs
+        b = DataLoader(self._dataset(), batch_size=10, shuffle=True, seed=7)
+        assert next(iter(b))[1].tolist() == e1  # deterministic given seed
+
+    def test_dict_collation(self):
+        data = [({"a": np.ones(3, np.float32) * i},
+                 {"y": np.int64(i)}) for i in range(4)]
+        loader = DataLoader(data, batch_size=2, prefetch=0)
+        inputs, targets = next(iter(loader))
+        assert inputs["a"].shape == (2, 3) and targets["y"].shape == (2,)
+
+    def test_prefetch_thread_raises_errors(self):
+        class Bad:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                raise RuntimeError("boom")
+
+        loader = DataLoader(Bad(), batch_size=2, prefetch=2)
+        with pytest.raises(RuntimeError, match="boom"):
+            list(loader)
