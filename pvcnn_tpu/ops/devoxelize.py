@@ -1,18 +1,34 @@
 """Trilinear devoxelization: per-point trilinear interpolation out of a voxel grid.
 
 TPU-native replacement for `trilinear_devoxelize_kernel`
-(reference: modules/functional/src/interpolate/trilinear_devox.cu:21-105). The
-8-corner gather runs as ONE fused 8N-row `take` (TPU gathers pay per-index
-dispatch; a single big take lowers ~40% faster than eight separate ones). The
-backward — scatter-add of w*grad into the grid, the reference's hand-written
-`trilinear_devoxelize_grad_kernel` (trilinear_devox.cu:119-162) — is a custom VJP
-routed through the Pallas one-hot MXU scatter (ops/pallas/scatter.py): XLA's AD
-transpose would emit a serialized 8N-index scatter instead.
+(reference: modules/functional/src/interpolate/trilinear_devox.cu:21-105).
+
+Three formulations, selected statically by shape (all exact; rules measured on
+v5e, see docs/PERFORMANCE.md):
+
+  * Forward: ONE fused 8N-row `take` (a single big take lowers ~40% faster than
+    eight separate ones). When the gather is large relative to the grid
+    (8N >= 2*R^3 and the per-item grid exceeds ~2 MB — PVCNN2's R=32 layers),
+    a CORNER-PACKED variant wins ~2.5x: materialize the 8 shifted corner copies
+    of the grid as channels ([B, R^3, 8C], cheap dense slices), then gather only
+    N rows. A point's 8 trilinear corners sit at fixed offsets
+    {0,1,R,R+1,R^2,...} from its base corner, so one row of the packed table
+    holds the whole 2x2x2 neighborhood.
+  * Backward — scatter-add of w*grad into the grid, the reference's hand-written
+    `trilinear_devoxelize_grad_kernel` (trilinear_devox.cu:119-162) — is a
+    custom VJP. Preference order: the Pallas one-hot MXU scatter
+    (ops/pallas/scatter.py) when its VMEM budget fits; otherwise the same
+    corner-packing trick in reverse — scatter N rows of 8C channels at the base
+    corner, then combine the 8 channel groups with shifted dense adds — which
+    cuts XLA's serialized per-row scatter cost 8x (91 -> 28 ms on ShapeNet-1x's
+    R=32 layer); plain per-corner segment_sum only for wide channels (C > 64)
+    where 8C-row traffic erases the row-count win.
 
 Edge handling matches the CUDA kernel bit-for-bit: coordinates arrive pre-clamped
 to [0, R-1]; the "hi" corner collapses onto the "lo" corner when the fractional
-part is zero (trilinear_devox.cu:64-75), in which case its weight is zero anyway.
-Like the reference, gradients flow only into the grid, not the coordinates.
+part is zero (trilinear_devox.cu:64-75), in which case its weight is zero anyway
+(an out-of-grid packed slot therefore only ever receives zeros, and the padded
+shift-combine drops it). Gradients flow only into the grid, not the coordinates.
 """
 
 from __future__ import annotations
@@ -69,33 +85,103 @@ def trilinear_devoxelize(grid: jnp.ndarray, norm_coords: jnp.ndarray,
     return out
 
 
+def _corner_offsets(r: int):
+    """Flat-index offsets of the 8 corners from the base (x0, y0, z0) corner,
+    in the same order as `_corners`."""
+    r2 = r * r
+    return (0, 1, r, r + 1, r2, r2 + 1, r2 + r, r2 + r + 1)
+
+
+def _shift_combine(packed, offs):
+    """packed [B, R3, K, C] with slot k's contribution stored at its GROUP BASE
+    corner's row -> [B, R3, C] with each contribution shifted by offs[k].
+    Rows whose shift would leave the grid carry zero weight by construction."""
+    b, r3, k, c = packed.shape
+    pad = offs[-1]
+    padded = jnp.pad(packed, ((0, 0), (pad, 0), (0, 0), (0, 0)))
+    out = padded[:, pad:, 0]
+    for i in range(1, k):
+        s = pad - offs[i]
+        out = out + padded[:, s:s + r3, i]
+    return out
+
+
+def _use_packed_fwd(n: int, r3: int, c: int) -> bool:
+    # measured on v5e: the packed gather wins when the gather rows dominate and
+    # the per-item grid is big enough to be in the slow-gather regime; packing a
+    # small grid 8x in channels pushes *it* into that regime instead
+    return 8 * n >= 2 * r3 and r3 * c * 4 > 2 * 1024 * 1024
+
+
 def _devox_fwd(grid, norm_coords, resolution):
     r = int(resolution)
     b, _, _, _, c = grid.shape
     assert grid.shape[1] == r
     n = norm_coords.shape[1]
     r3 = r * r * r
-    flat = grid.reshape(b * r3, c)
     idx8, w8 = _corners(norm_coords, r)
-    # one fused global 8N-row gather; measured faster than eight separate takes
-    # (-40%), batched take_along_axis (-13%), and a rolled neighborhood-packing
-    # (whose 8x channel copies cost more HBM traffic than they save)
-    gidx = (idx8.reshape(b, n * 8)
-            + (jnp.arange(b, dtype=jnp.int32) * r3)[:, None]).reshape(-1)
-    rows = jnp.take(flat, gidx, axis=0).reshape(b, n, 8, c)
+    if _use_packed_fwd(n, r3, c):
+        flat = grid.reshape(b, r3, c)
+        offs = _corner_offsets(r)
+        padded = jnp.pad(flat, ((0, 0), (0, offs[-1]), (0, 0)))
+        packed = jnp.stack([
+            jax.lax.dynamic_slice_in_dim(padded, o, r3, axis=1) for o in offs
+        ], axis=2)
+        # the barrier keeps XLA from fusing the shifts into the gather (which
+        # would silently rebuild the 8N-row gather this path exists to avoid)
+        packed = jax.lax.optimization_barrier(packed.reshape(b, r3, 8 * c))
+        base = idx8[..., 0]
+        gidx = (base + (jnp.arange(b, dtype=jnp.int32) * r3)[:, None]).reshape(-1)
+        rows = jnp.take(packed.reshape(b * r3, 8 * c), gidx, axis=0)
+        rows = rows.reshape(b, n, 8, c)
+    else:
+        # one fused global 8N-row gather; measured faster than eight separate
+        # takes (-40%) and batched take_along_axis (-13%)
+        flat = grid.reshape(b * r3, c)
+        gidx = (idx8.reshape(b, n * 8)
+                + (jnp.arange(b, dtype=jnp.int32) * r3)[:, None]).reshape(-1)
+        rows = jnp.take(flat, gidx, axis=0).reshape(b, n, 8, c)
     out = jnp.sum(rows * w8[..., None].astype(rows.dtype), axis=2)
     return out, (idx8, w8)
 
 
 def _devox_bwd(resolution, residuals, g):
+    from pvcnn_tpu.ops.pallas.scatter import _mm_dtype, pallas_scatter_supported
     from pvcnn_tpu.ops.voxelize import _scatter_sum
 
     idx8, w8 = residuals
     r = int(resolution)
     b, n, c = g.shape
+    r3 = r * r * r
+    md = _mm_dtype()
+    pallas_ok = pallas_scatter_supported(r3, n * 8, c, md) or (
+        r3 % 128 == 0 and n * 8 > 4096
+        and pallas_scatter_supported(r3, n * 4, c, md))
     values = (w8[..., None].astype(g.dtype) * g[:, :, None, :])  # [B, N, 8, C]
-    dflat = _scatter_sum(values.reshape(b, n * 8, c), idx8.reshape(b, n * 8),
-                         r * r * r)
+    offs = _corner_offsets(r)
+    if pallas_ok or c > 64:
+        # wide channels: 4C/8C-row scatters erase the row-count win (measured)
+        dflat = _scatter_sum(values.reshape(b, n * 8, c), idx8.reshape(b, n * 8),
+                             r3)
+    elif c <= 32:
+        # full pack: N rows of 8C at the base corner
+        packed = jax.vmap(
+            lambda v, i: jax.ops.segment_sum(v, i, num_segments=r3)
+        )(values.reshape(b, n, 8 * c), idx8[..., 0])
+        dflat = _shift_combine(packed.reshape(b, r3, 8, c), offs)
+    else:
+        # half pack (C<=64): 2N rows of 4C, one row per x-plane of the 2x2x2
+        # cube — the sweet spot when 8C rows get too wide (s3dis-1x R=32:
+        # 180 ms plain scatter -> 37 ms full pack -> 18.7 ms half pack)
+        vals = jnp.concatenate([
+            values[:, :, 0:4].reshape(b, n, 4 * c),
+            values[:, :, 4:8].reshape(b, n, 4 * c),
+        ], axis=1)
+        idx = jnp.concatenate([idx8[..., 0], idx8[..., 4]], axis=1)
+        packed = jax.vmap(
+            lambda v, i: jax.ops.segment_sum(v, i, num_segments=r3)
+        )(vals, idx)
+        dflat = _shift_combine(packed.reshape(b, r3, 4, c), offs[:4])
     return dflat.reshape(b, r, r, r, c).astype(g.dtype), None
 
 

@@ -51,7 +51,7 @@ def furthest_point_sample_indices(coords: jnp.ndarray, num_samples: int):
     """coords [B, N, 3] -> int32 indices [B, M] of the FPS-selected centers."""
     from pvcnn_tpu.ops.pallas.fps import fps_indices_pallas, pallas_fps_supported
 
-    if pallas_fps_supported(coords.shape[1]):
+    if pallas_fps_supported(coords.shape[1], coords.shape[0]):
         return fps_indices_pallas(coords, int(num_samples))
     return jax.vmap(lambda c: _fps_single(c, int(num_samples)))(coords)
 

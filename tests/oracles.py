@@ -53,6 +53,30 @@ def trilinear_devoxelize(grid, norm_coords):
     return out.astype(np.float32)
 
 
+def trilinear_devoxelize_grad(grad_out, norm_coords, r):
+    """trilinear_devoxelize_grad_kernel (trilinear_devox.cu:119-162):
+    scatter-add w * grad into the flat grid. grad_out [B,N,C] -> [B,R^3,C]."""
+    b, n, c = grad_out.shape
+    out = np.zeros((b, r * r * r, c), dtype=np.float64)
+    for bi in range(b):
+        for i in range(n):
+            x, y, z = norm_coords[bi, i]
+            xl, yl, zl = np.floor([x, y, z])
+            fx, fy, fz = x - xl, y - yl, z - zl
+            xl, yl, zl = int(xl), int(yl), int(zl)
+            xh = xl + (1 if fx > 0 else 0)
+            yh = yl + (1 if fy > 0 else 0)
+            zh = zl + (1 if fz > 0 else 0)
+            for (xi, wx) in ((xl, 1 - fx), (xh, fx)):
+                for (yi, wy) in ((yl, 1 - fy), (yh, fy)):
+                    for (zi, wz) in ((zl, 1 - fz), (zh, fz)):
+                        w = wx * wy * wz
+                        if (xi, yi, zi) != (xl, yl, zl) and w == 0:
+                            continue
+                        out[bi, xi * r * r + yi * r + zi] += w * grad_out[bi, i]
+    return out.astype(np.float32)
+
+
 def ball_query(centers, points, radius, u):
     """ball_query.cu:19-50 + zero init at ball_query.cpp:22-25."""
     b, m, _ = centers.shape

@@ -91,6 +91,42 @@ class TestTrilinearDevoxelize:
         ana = np.asarray(jax.grad(f)(jnp.asarray(grid)))
         np.testing.assert_allclose(ana, num, rtol=1e-2, atol=1e-2)
 
+    # the TPU-tuned formulations are chosen statically by (N, R, C); pin shapes
+    # that reach each branch so all stay oracle-exact (see _devox_fwd/_devox_bwd)
+    @pytest.mark.parametrize(
+        "n,c,r,branch",
+        [(64, 16, 4, "bwd-pack8"),       # c <= 32: N rows of 8C at base corner
+         (64, 40, 4, "bwd-pack4"),       # 32 < c <= 64: 2N rows of 4C
+         (64, 72, 4, "bwd-plain"),       # c > 64: per-corner segment_sum
+         (1024, 136, 16, "fwd-packed")], # 8N >= 2R3 and grid > 2MB: packed gather
+    )
+    def test_formulation_branches_match_oracle(self, rng, n, c, r, branch):
+        b = 1
+        grid = rng.randn(b, r, r, r, c).astype(np.float32)
+        nc = rng.uniform(0, r - 1, size=(b, n, 3)).astype(np.float32)
+        nc[0, 0] = [r - 1, r - 1, r - 1]     # exact boundary: collapsed corners
+        nc[0, 1] = [0, 0, 0]
+        got = np.asarray(
+            ops.trilinear_devoxelize(jnp.asarray(grid), jnp.asarray(nc), r))
+        want = oracles.trilinear_devoxelize(grid, nc)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+        # backward: d/dgrid sum(w * out) == scatter of weights; compare against
+        # the transpose computed by the plain 8N-corner oracle scatter
+        w = rng.randn(b, n, c).astype(np.float32)
+
+        def f(x):
+            return jnp.sum(ops.trilinear_devoxelize(x, jnp.asarray(nc), r)
+                           * jnp.asarray(w))
+
+        # fp32 matmul precision: the c>64 branch routes through _scatter_sum,
+        # whose Pallas one-hot path uses bf16 matmuls under default precision
+        with jax.default_matmul_precision("float32"):
+            ana = np.asarray(jax.grad(f)(jnp.asarray(grid)))
+        want_g = oracles.trilinear_devoxelize_grad(w, nc, r)
+        np.testing.assert_allclose(ana, want_g.reshape(ana.shape), rtol=1e-4,
+                                   atol=1e-4)
+
 
 class TestBallQuery:
     def test_matches_oracle(self, rng):
