@@ -27,19 +27,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["ball_query_pallas", "three_nn_pallas", "pallas_select_supported"]
 
-TILE_ROWS = 16
-
-
 def _interpret() -> bool:
     return os.environ.get("PVCNN_TPU_PALLAS_INTERPRET", "0") == "1"
 
 
+def _tile_rows(num_rows: int, num_cols: int) -> int:
+    """Largest row tile that divides num_rows and keeps the kernel's two
+    [TM, cols] f32/i32 working planes within ~8 MB of VMEM. Small tiles pay
+    per-invocation dispatch (a 16-row tile over N=8192 points means 512
+    invocations per batch item — measured overhead-bound on v5e)."""
+    for tm in (128, 64, 32, 16):
+        if num_rows % tm == 0 and 2 * tm * num_cols * 4 <= 8 * 1024 * 1024:
+            return tm
+    return 0
+
+
 def pallas_select_supported(num_rows: int, num_cols: int) -> bool:
     """rows = queries per item, cols = candidates scanned per query."""
-    if num_rows % TILE_ROWS != 0:
+    if _tile_rows(num_rows, num_cols) == 0:
         return False
-    # VMEM: candidate coords [3, cols] + key tile [TILE_ROWS, cols]
-    if (3 * num_cols + TILE_ROWS * num_cols) * 4 > 8 * 1024 * 1024:
+    # VMEM: candidate coords [3, cols] block is shared across row tiles
+    if 3 * num_cols * 4 > 2 * 1024 * 1024:
         return False
     if _interpret():
         return True
@@ -86,18 +94,19 @@ def ball_query_pallas(centers_coords, points_coords, radius2: float, u: int):
     """[B, M, 3] x [B, N, 3] -> [B, M, U] int32; misses hold sentinel N."""
     b, m, _ = centers_coords.shape
     n = points_coords.shape[1]
+    tm = _tile_rows(m, n)
     points_t = jnp.transpose(points_coords, (0, 2, 1)).astype(jnp.float32)
     return pl.pallas_call(
         functools.partial(_ball_query_kernel, float(radius2), u),
         out_shape=jax.ShapeDtypeStruct((b, m, u), jnp.int32),
-        grid=(b, m // TILE_ROWS),
+        grid=(b, m // tm),
         in_specs=[
-            pl.BlockSpec((1, TILE_ROWS, 3), lambda i, t: (i, t, 0),
+            pl.BlockSpec((1, tm, 3), lambda i, t: (i, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, n), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_ROWS, u), lambda i, t: (i, t, 0),
+        out_specs=pl.BlockSpec((1, tm, u), lambda i, t: (i, t, 0),
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
     )(centers_coords.astype(jnp.float32), points_t)
@@ -135,22 +144,23 @@ def three_nn_pallas(points_coords, centers_coords):
     unfilled slots (M < 3) keep idx 0 / d2 1e40 like the CUDA cascade."""
     b, n, _ = points_coords.shape
     m = centers_coords.shape[1]
+    tm = _tile_rows(n, m)
     centers_t = jnp.transpose(centers_coords, (0, 2, 1)).astype(jnp.float32)
     return pl.pallas_call(
         _three_nn_kernel,
         out_shape=(jax.ShapeDtypeStruct((b, n, 3), jnp.int32),
                    jax.ShapeDtypeStruct((b, n, 3), jnp.float32)),
-        grid=(b, n // TILE_ROWS),
+        grid=(b, n // tm),
         in_specs=[
-            pl.BlockSpec((1, TILE_ROWS, 3), lambda i, t: (i, t, 0),
+            pl.BlockSpec((1, tm, 3), lambda i, t: (i, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, m), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, TILE_ROWS, 3), lambda i, t: (i, t, 0),
+            pl.BlockSpec((1, tm, 3), lambda i, t: (i, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_ROWS, 3), lambda i, t: (i, t, 0),
+            pl.BlockSpec((1, tm, 3), lambda i, t: (i, t, 0),
                         memory_space=pltpu.VMEM),
         ),
         interpret=_interpret(),
