@@ -81,6 +81,21 @@ class TestS3DISModels:
         out_eval, _, _, _ = init_and_apply(model, x)
         assert out_eval.shape == (B, N, 13)
 
+    def test_pvcnn2_bf16_activations(self, rng):
+        # mixed precision: dtype="bfloat16" runs activations in bf16 while
+        # params and BatchNorm statistics stay fp32 (opt in with
+        # --configs.model.dtype="bfloat16")
+        model = s3dis.PVCNN2(num_classes=13, extra_feature_channels=6,
+                             width_multiplier=0.25, dtype="bfloat16")
+        x = rand_inputs(rng, 9)
+        out_eval, out_train, variables, mutated = init_and_apply(model, x)
+        assert out_eval.shape == (B, N, 13)
+        assert np.all(np.isfinite(np.asarray(out_eval, dtype=np.float32)))
+        for leaf in jax.tree.leaves(variables["params"]):
+            assert leaf.dtype == jnp.float32
+        for leaf in jax.tree.leaves(mutated["batch_stats"]):
+            assert leaf.dtype == jnp.float32
+
 
 SIZE_TEMPLATES = tuple(tuple(float(v) for v in row)
                        for row in np.abs(np.random.RandomState(7).randn(8, 3)) + 1.0)
