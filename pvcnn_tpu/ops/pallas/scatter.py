@@ -60,6 +60,17 @@ def pallas_scatter_supported(num_bins: int, n: int, c: int,
     return jax.default_backend() == "tpu"
 
 
+def _unroll(bins: int) -> int:
+    """Tiles handled per loop iteration. The fori_loop's scalar-core overhead
+    (~hundreds of cycles/iteration) dominates the per-tile vector work at
+    C<=32 — 64 batch items x 256 tiles cost ~10 ms of pure loop overhead at
+    the ShapeNet headline config before unrolling."""
+    for u in (8, 4, 2, 1):
+        if bins % (TILE_V * u) == 0:
+            return u
+    return 1
+
+
 def _scatter_kernel(mm_dtype, precision, idx_ref, values_ref, out_ref, lo_mask):
     # idx_ref: [1, 1, N] int32; values_ref: [1, C, N]; out_ref: [1, C, bins] f32
     # lo_mask scratch: [N, TILE_V] mm_dtype
@@ -73,17 +84,21 @@ def _scatter_kernel(mm_dtype, precision, idx_ref, values_ref, out_ref, lo_mask):
     lo = jax.lax.rem(idx, TILE_V).reshape(n, 1)
     lo_mask[:, :] = (cols == lo).astype(mm_dtype)
     hi = jax.lax.div(idx, TILE_V)                             # [1, N]
+    u = _unroll(bins)
 
     def body(t, _):
-        sel = (hi == t).astype(values.dtype)                  # [1, N]
-        masked = (values * sel).astype(mm_dtype)              # [C, N]
-        tile = jax.lax.dot(masked, lo_mask[:, :],
-                           precision=precision,
-                           preferred_element_type=jnp.float32)
-        out_ref[0, :, pl.ds(t * TILE_V, TILE_V)] = tile.astype(out_ref.dtype)
+        for k in range(u):
+            tk = t * u + k
+            sel = (hi == tk).astype(values.dtype)             # [1, N]
+            masked = (values * sel).astype(mm_dtype)          # [C, N]
+            tile = jax.lax.dot(masked, lo_mask[:, :],
+                               precision=precision,
+                               preferred_element_type=jnp.float32)
+            out_ref[0, :, pl.ds(tk * TILE_V, TILE_V)] = tile.astype(
+                out_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, bins // TILE_V, body, 0)
+    jax.lax.fori_loop(0, bins // (TILE_V * u), body, 0)
 
 
 def _mm_dtype():
