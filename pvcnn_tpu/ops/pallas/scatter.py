@@ -43,6 +43,16 @@ def _interpret() -> bool:
     return os.environ.get("PVCNN_TPU_PALLAS_INTERPRET", "0") == "1"
 
 
+def _tile_v(num_bins: int, n: int, mask_bytes: int) -> int:
+    """Bin-tile width. The per-tile value masking costs C*N vector work per
+    tile, i.e. O(C*N*bins/TILE_V) total — wider tiles cut it linearly. Bounded
+    by the lo-mask scratch [N, TILE_V] fitting alongside everything else."""
+    for tv in (512, 256, 128):
+        if num_bins % tv == 0 and n * tv * mask_bytes <= 4 * 1024 * 1024:
+            return tv
+    return 128
+
+
 def pallas_scatter_supported(num_bins: int, n: int, c: int,
                              mm_dtype=None) -> bool:
     if num_bins % TILE_V != 0 or n % 8 != 0:
@@ -52,7 +62,7 @@ def pallas_scatter_supported(num_bins: int, n: int, c: int,
     # not: 2x (out [C, bins] f32 + values [C, N] f32 + idx) + lo-mask [N, TILE_V]
     c_pad = max(c, 8)
     vmem = (2 * (c_pad * num_bins * 4 + c_pad * n * 4 + n * 4)
-            + n * TILE_V * mask_bytes)
+            + n * _tile_v(num_bins, n, mask_bytes) * mask_bytes)
     if vmem > 14 * 1024 * 1024:
         return False
     if _interpret():
@@ -60,31 +70,32 @@ def pallas_scatter_supported(num_bins: int, n: int, c: int,
     return jax.default_backend() == "tpu"
 
 
-def _unroll(bins: int) -> int:
+def _unroll(bins: int, tile_v: int) -> int:
     """Tiles handled per loop iteration. The fori_loop's scalar-core overhead
     (~hundreds of cycles/iteration) dominates the per-tile vector work at
     C<=32 — 64 batch items x 256 tiles cost ~10 ms of pure loop overhead at
     the ShapeNet headline config before unrolling."""
     for u in (8, 4, 2, 1):
-        if bins % (TILE_V * u) == 0:
+        if bins % (tile_v * u) == 0:
             return u
     return 1
 
 
-def _scatter_kernel(mm_dtype, precision, idx_ref, values_ref, out_ref, lo_mask):
+def _scatter_kernel(mm_dtype, precision, tile_v, idx_ref, values_ref, out_ref,
+                    lo_mask):
     # idx_ref: [1, 1, N] int32; values_ref: [1, C, N]; out_ref: [1, C, bins] f32
-    # lo_mask scratch: [N, TILE_V] mm_dtype
+    # lo_mask scratch: [N, tile_v] mm_dtype
     n = idx_ref.shape[2]
     c = values_ref.shape[1]
     bins = out_ref.shape[2]
     idx = idx_ref[...].reshape(1, n)
     values = values_ref[...].reshape(c, n)
 
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n, TILE_V), 1)
-    lo = jax.lax.rem(idx, TILE_V).reshape(n, 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, tile_v), 1)
+    lo = jax.lax.rem(idx, tile_v).reshape(n, 1)
     lo_mask[:, :] = (cols == lo).astype(mm_dtype)
-    hi = jax.lax.div(idx, TILE_V)                             # [1, N]
-    u = _unroll(bins)
+    hi = jax.lax.div(idx, tile_v)                             # [1, N]
+    u = _unroll(bins, tile_v)
 
     def body(t, _):
         for k in range(u):
@@ -94,11 +105,11 @@ def _scatter_kernel(mm_dtype, precision, idx_ref, values_ref, out_ref, lo_mask):
             tile = jax.lax.dot(masked, lo_mask[:, :],
                                precision=precision,
                                preferred_element_type=jnp.float32)
-            out_ref[0, :, pl.ds(tk * TILE_V, TILE_V)] = tile.astype(
+            out_ref[0, :, pl.ds(tk * tile_v, tile_v)] = tile.astype(
                 out_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, bins // (TILE_V * u), body, 0)
+    jax.lax.fori_loop(0, bins // (tile_v * u), body, 0)
 
 
 def _mm_dtype():
@@ -119,8 +130,9 @@ def _onehot_scatter_add(values, idx, num_bins, mm_dtype):
     precision = (jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
     values_t = jnp.transpose(values, (0, 2, 1))               # [B, C, N]
+    tile_v = _tile_v(num_bins, n, 4 if mm_dtype == jnp.float32 else 2)
     out = pl.pallas_call(
-        functools.partial(_scatter_kernel, mm_dtype, precision),
+        functools.partial(_scatter_kernel, mm_dtype, precision, tile_v),
         out_shape=jax.ShapeDtypeStruct((b, c, num_bins), jnp.float32),
         grid=(b,),
         in_specs=[
@@ -131,7 +143,7 @@ def _onehot_scatter_add(values, idx, num_bins, mm_dtype):
         ],
         out_specs=pl.BlockSpec((1, c, num_bins), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((n, TILE_V), mm_dtype)],
+        scratch_shapes=[pltpu.VMEM((n, tile_v), mm_dtype)],
         interpret=_interpret(),
     )(idx.astype(jnp.int32)[:, None, :], values_t)
     return jnp.transpose(out, (0, 2, 1))                      # [B, bins, C]
