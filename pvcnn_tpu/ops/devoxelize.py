@@ -149,7 +149,41 @@ def _devox_fwd(grid, norm_coords, resolution):
     return out, (idx8, w8)
 
 
+def _packed_pallas_scatter(values8, idx8, r3, offs, num_corners, md, depth=0):
+    """Corner-packed Pallas scatter of values8 [B, N, 8, C] (ops/pallas/
+    packed_scatter.py): groups of `num_corners` corners become channel blocks
+    scattered at the group's base corner. Halves N (scatters are additive)
+    until the kernel's VMEM plan fits; None if it never does."""
+    from pvcnn_tpu.ops.pallas.packed_scatter import (packed_scatter_add,
+                                                     packed_scatter_plan)
+
+    b, n, _, c = values8.shape
+    groups = 8 // num_corners
+    plan = packed_scatter_plan(r3, groups * n, num_corners * c, c,
+                               offs[num_corners - 1], md)
+    if plan is None:
+        if depth >= 2 or n % 16:
+            return None
+        h = n // 2
+        lo = _packed_pallas_scatter(values8[:, :h], idx8[:, :h], r3, offs,
+                                    num_corners, md, depth + 1)
+        if lo is None:
+            return None
+        return lo + _packed_pallas_scatter(values8[:, h:], idx8[:, h:], r3,
+                                           offs, num_corners, md, depth + 1)
+    vals = jnp.concatenate([
+        values8[:, :, gk * num_corners:(gk + 1) * num_corners].reshape(
+            b, n, num_corners * c) for gk in range(groups)
+    ], axis=1)                                           # [B, groups*N, K*C]
+    base = jnp.concatenate(
+        [idx8[:, :, gk * num_corners] for gk in range(groups)], axis=1)
+    return packed_scatter_add(vals.transpose(0, 2, 1), base, r3,
+                              offs[:num_corners], c, md)
+
+
 def _devox_bwd(resolution, residuals, g):
+    import os
+
     from pvcnn_tpu.ops.pallas.scatter import _mm_dtype, pallas_scatter_supported
     from pvcnn_tpu.ops.voxelize import _scatter_sum
 
@@ -158,11 +192,18 @@ def _devox_bwd(resolution, residuals, g):
     b, n, c = g.shape
     r3 = r * r * r
     md = _mm_dtype()
+    values = (w8[..., None].astype(g.dtype) * g[:, :, None, :])  # [B, N, 8, C]
+    offs = _corner_offsets(r)
+    if (c % 8 == 0 and c <= 64 and r3 % 128 == 0
+            and (jax.default_backend() == "tpu"
+                 or os.environ.get("PVCNN_TPU_PALLAS_INTERPRET") == "1")):
+        k = 8 if c <= 16 else (4 if c <= 32 else 2)
+        dflat = _packed_pallas_scatter(values, idx8, r3, offs, k, md)
+        if dflat is not None:
+            return dflat.reshape(b, r, r, r, c).astype(g.dtype), None
     pallas_ok = pallas_scatter_supported(r3, n * 8, c, md) or (
         r3 % 128 == 0 and n * 8 > 4096
         and pallas_scatter_supported(r3, n * 4, c, md))
-    values = (w8[..., None].astype(g.dtype) * g[:, :, None, :])  # [B, N, 8, C]
-    offs = _corner_offsets(r)
     if pallas_ok or c > 64:
         # wide channels: 4C/8C-row scatters erase the row-count win (measured)
         dflat = _scatter_sum(values.reshape(b, n * 8, c), idx8.reshape(b, n * 8),

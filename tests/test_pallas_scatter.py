@@ -4,6 +4,7 @@ the same kernel is compiled on TPU)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pvcnn_tpu.ops.pallas.scatter import onehot_scatter_add
 
@@ -47,6 +48,59 @@ def test_avg_voxelize_uses_fp32_under_precision_context(rng):
     import oracles
     want = oracles.avg_voxelize(feats, vc, r)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def _devox_bwd_reference(w, nc, r, c):
+    import oracles
+    return oracles.trilinear_devoxelize_grad(w, nc, r)
+
+
+@pytest.mark.parametrize(
+    "n,c,r",
+    [(64, 16, 8),      # K=8: full corner pack, KC=128
+     (64, 32, 8),      # K=4: half pack, 2N rows
+     (64, 64, 8),      # K=2: quarter pack, 4N rows
+     (64, 8, 16)])     # K=8 at R=16 (larger offsets, multiple bin tiles)
+def test_devox_bwd_corner_packed_pallas(rng, n, c, r):
+    """The corner-packed Pallas scatter (ops/pallas/packed_scatter.py) must be
+    oracle-exact for every pack width (interpret mode compiles the same kernel
+    that runs on TPU)."""
+    from pvcnn_tpu import ops
+    b = 2
+    grid = rng.randn(b, r, r, r, c).astype(np.float32)
+    nc = rng.uniform(0, r - 1, size=(b, n, 3)).astype(np.float32)
+    nc[0, 0] = [r - 1, r - 1, r - 1]       # exact boundary: collapsed corners
+    nc[0, 1] = [0, 0, 0]
+    w = rng.randn(b, n, c).astype(np.float32)
+
+    def f(x):
+        return jnp.sum(ops.trilinear_devoxelize(x, jnp.asarray(nc), r)
+                       * jnp.asarray(w))
+
+    with jax.default_matmul_precision("float32"):
+        ana = np.asarray(jax.grad(f)(jnp.asarray(grid)))
+    want = _devox_bwd_reference(w, nc, r, c)
+    np.testing.assert_allclose(ana, want.reshape(ana.shape), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_packed_scatter_row_halving(rng):
+    """rows too large for the VMEM plan -> the caller halves N and sums."""
+    from pvcnn_tpu.ops.pallas.packed_scatter import packed_scatter_plan
+    from pvcnn_tpu.ops.devoxelize import (_corner_offsets, _corners,
+                                          _packed_pallas_scatter)
+    b, n, c, r = 1, 16384, 16, 8
+    assert packed_scatter_plan(r * r * r, n, 8 * c, c, _corner_offsets(r)[-1],
+                               jnp.float32) is None
+    nc = rng.uniform(0, r - 1, size=(b, n, 3)).astype(np.float32)
+    w = rng.randn(b, n, c).astype(np.float32)
+    idx8, w8 = _corners(jnp.asarray(nc), r)
+    values = np.asarray(w8)[..., None] * w[:, :, None, :]
+    got = _packed_pallas_scatter(jnp.asarray(values), idx8, r * r * r,
+                                 _corner_offsets(r), 8, jnp.float32)
+    want = _devox_bwd_reference(w, nc, r, c)
+    np.testing.assert_allclose(np.asarray(got), want.reshape(got.shape),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_devoxelize_grad_through_pallas_path(rng):
