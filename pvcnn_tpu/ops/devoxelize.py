@@ -159,11 +159,18 @@ def _packed_pallas_scatter(values8, idx8, r3, offs, num_corners, md, depth=0):
 
     b, n, _, c = values8.shape
     groups = 8 // num_corners
+    # the kernel's per-tile row masking costs O(rows * KC * bins / tile_v);
+    # keep rows small enough for the widest bin tile the mask budget allows
+    # (measured: tile_v 256 -> 512 halves the PVCNN2 scatter time)
+    mm_bytes = 4 if md == jnp.float32 else 2
+    tv_max = max((tv for tv in (512, 256, 128) if r3 % tv == 0), default=0)
+    max_rows = (4 * 1024 * 1024) // (tv_max * mm_bytes) if tv_max else 0
     plan = packed_scatter_plan(r3, groups * n, num_corners * c, c,
                                offs[num_corners - 1], md)
-    if plan is None:
-        if depth >= 2 or n % 16:
-            return None
+    if plan is None or (max_rows and groups * n > max_rows):
+        if depth >= 4 or n % 16:
+            return None if plan is None else _packed_scatter_call(
+                values8, idx8, r3, offs, num_corners, c, md)
         h = n // 2
         lo = _packed_pallas_scatter(values8[:, :h], idx8[:, :h], r3, offs,
                                     num_corners, md, depth + 1)
@@ -171,6 +178,14 @@ def _packed_pallas_scatter(values8, idx8, r3, offs, num_corners, md, depth=0):
             return None
         return lo + _packed_pallas_scatter(values8[:, h:], idx8[:, h:], r3,
                                            offs, num_corners, md, depth + 1)
+    return _packed_scatter_call(values8, idx8, r3, offs, num_corners, c, md)
+
+
+def _packed_scatter_call(values8, idx8, r3, offs, num_corners, c, md):
+    from pvcnn_tpu.ops.pallas.packed_scatter import packed_scatter_add
+
+    b, n, _, _ = values8.shape
+    groups = 8 // num_corners
     vals = jnp.concatenate([
         values8[:, :, gk * num_corners:(gk + 1) * num_corners].reshape(
             b, n, num_corners * c) for gk in range(groups)
@@ -194,9 +209,16 @@ def _devox_bwd(resolution, residuals, g):
     md = _mm_dtype()
     values = (w8[..., None].astype(g.dtype) * g[:, :, None, :])  # [B, N, 8, C]
     offs = _corner_offsets(r)
-    if (c % 8 == 0 and c <= 64 and r3 % 128 == 0
-            and (jax.default_backend() == "tpu"
-                 or os.environ.get("PVCNN_TPU_PALLAS_INTERPRET") == "1")):
+    # corner-packed Pallas kernel: wins where its B*rows*R^3*128 MXU-slot cost
+    # stays small — small grids, narrow channels, or small batches (all
+    # crossovers measured on v5e, see docs/PERFORMANCE.md). Its fp32-precision
+    # matmul mode is ~6x slower, so high-precision contexts skip it (backward
+    # only runs in training, which uses bf16 scatter matmuls by default).
+    interpret = os.environ.get("PVCNN_TPU_PALLAS_INTERPRET") == "1"
+    packed_ok = (interpret or
+                 (jax.default_backend() == "tpu" and md != jnp.float32))
+    if (packed_ok and c % 8 == 0 and c <= 64 and r3 % 128 == 0
+            and (r3 <= 4096 or c <= 16 or (n <= 2048 and b * n <= 65536))):
         k = 8 if c <= 16 else (4 if c <= 32 else 2)
         dflat = _packed_pallas_scatter(values, idx8, r3, offs, k, md)
         if dflat is not None:
@@ -208,8 +230,10 @@ def _devox_bwd(resolution, residuals, g):
         # wide channels: 4C/8C-row scatters erase the row-count win (measured)
         dflat = _scatter_sum(values.reshape(b, n * 8, c), idx8.reshape(b, n * 8),
                              r3)
-    elif c <= 32:
-        # full pack: N rows of 8C at the base corner
+    elif c <= 32 and n < 4096:
+        # full pack: N rows of 8C at the base corner (at large N the half pack
+        # wins: XLA's serialized scatter gets cheaper per row with row count,
+        # measured 2.26 vs 1.79 ms at B=8 N=8192 C=32 R=32)
         packed = jax.vmap(
             lambda v, i: jax.ops.segment_sum(v, i, num_segments=r3)
         )(values.reshape(b, n, 8 * c), idx8[..., 0])

@@ -63,9 +63,13 @@ def packed_scatter_plan(num_bins: int, rows: int, kc: int, c: int,
         n_slots = off_max // tile_v + 2
         n_warm = n_slots - 1
         n_tiles = num_bins // tile_v
+        # stack: live temporaries inside the kernel (masked values, the matmul
+        # tile, mask-build slab) share the scoped-VMEM budget with the blocks
+        stack = (kc * rows * mm_bytes + 2 * kc * tile_v * 4
+                 + 512 * tile_v * (4 + mm_bytes))
         fixed = (2 * (kc * rows * mm_bytes + rows * 4)
                  + rows * tile_v * mm_bytes
-                 + kc * n_slots * tile_v * 4)
+                 + kc * n_slots * tile_v * 4 + stack)
         for n_chunks in (1, 2, 4, 8):
             if n_tiles % n_chunks:
                 continue
@@ -92,23 +96,32 @@ def _packed_kernel(mm_dtype, precision, tile_v, n_warm, n_slots, offsets, c,
 
     @pl.when(j == 0)
     def _build_mask():
-        cols = jax.lax.broadcasted_iota(jnp.int32, (rows, tile_v), 1)
+        # slab-wise build keeps the iota + compare temporaries off the vector
+        # stack (a full [rows, tile_v] int32 iota alone is 4 MB at rows=2048)
+        slab = next(s for s in (512, 256, 128, rows) if rows % s == 0)
         lo = jax.lax.rem(idx, tile_v).reshape(rows, 1)
-        lo_mask[:, :] = (cols == lo).astype(mm_dtype)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (slab, tile_v), 1)
+        for s in range(0, rows, slab):
+            lo_mask[s:s + slab, :] = (cols == lo[s:s + slab]).astype(mm_dtype)
 
     hi = jax.lax.div(idx, tile_v)                               # [1, rows]
     base_tile = j * chunk_tiles - n_warm
+    total = chunk_tiles + n_warm
+    # manual partial unroll: Mosaic lowers fori_loop iterations with real
+    # scalar-core overhead and only supports unroll=1 or full unroll
+    u = min(4, total)
 
-    def step(t, _):
+    def tile_step(t):
+        valid = t < total
         g = base_tile + t                   # global packed/output tile id
         slot = jax.lax.rem(g + n_slots, n_slots)
 
-        @pl.when(g < 0)
+        @pl.when(valid & (g < 0))
         def _zero():                        # ring must not leak the previous
             ring[:, pl.ds(slot * tile_v, tile_v)] = jnp.zeros(
                 (kc, tile_v), jnp.float32)  # batch item's tiles into the emit
 
-        @pl.when(g >= 0)
+        @pl.when(valid & (g >= 0))
         def _compute():
             sel = (hi == g).astype(mm_dtype)                    # [1, rows]
             tile = jax.lax.dot(values * sel, lo_mask[:, :],
@@ -116,7 +129,7 @@ def _packed_kernel(mm_dtype, precision, tile_v, n_warm, n_slots, offsets, c,
                                preferred_element_type=jnp.float32)
             ring[:, pl.ds(slot * tile_v, tile_v)] = tile
 
-        @pl.when(t >= n_warm)
+        @pl.when(valid & (t >= n_warm))
         def _emit():
             acc = None
             for k, off in enumerate(offsets):
@@ -135,9 +148,12 @@ def _packed_kernel(mm_dtype, precision, tile_v, n_warm, n_slots, offsets, c,
                 acc = contrib if acc is None else acc + contrib
             out_ref[0, :, pl.ds((t - n_warm) * tile_v, tile_v)] = acc
 
+    def step(i, _):
+        for k in range(u):
+            tile_step(i * u + k)
         return 0
 
-    jax.lax.fori_loop(0, chunk_tiles + n_warm, step, 0)
+    jax.lax.fori_loop(0, (total + u - 1) // u, step, 0)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
