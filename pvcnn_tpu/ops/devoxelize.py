@@ -149,6 +149,61 @@ def _devox_fwd(grid, norm_coords, resolution):
     return out, (idx8, w8)
 
 
+def _sorted_pallas_scatter(g, w8, idx8, r3, offs, num_corners, md, depth=0):
+    """SORTED corner-packed Pallas scatter (ops/pallas/sorted_scatter.py):
+    rows sorted by base bin so each output tile only matmuls its own row
+    window. Sorts BEFORE building the packed values so the sort permutation
+    gathers the narrow [N, C] grad rows (plus [rows, K] weights), not the
+    K*C-wide packed values. Halves N until the VMEM plan fits; None if it
+    never does."""
+    from pvcnn_tpu.ops.pallas.sorted_scatter import (sort_rows,
+                                                     sorted_scatter_add,
+                                                     sorted_scatter_plan)
+
+    b, n, c = g.shape
+    groups = 8 // num_corners
+    rows = groups * n
+    plan = sorted_scatter_plan(r3, rows, num_corners * c, c,
+                               offs[num_corners - 1], md, b)
+    if plan is None:
+        # halving doubles the fixed sort + permutation-gather overhead; with a
+        # bf16 matmul budget the unsorted packed kernel (no gather at all) is
+        # the better fallback (measured on PVCNN2 R=32: packed 64.2 vs halved
+        # sorted 66.6 ms/step). fp32 has no fast unsorted option — halve.
+        if depth == 0 and md != jnp.float32:
+            return None
+        if depth >= 4 or n % 16:
+            return None
+        h = n // 2
+        lo = _sorted_pallas_scatter(g[:, :h], w8[:, :h], idx8[:, :h], r3,
+                                    offs, num_corners, md, depth + 1)
+        if lo is None:
+            return None
+        return lo + _sorted_pallas_scatter(g[:, h:], w8[:, h:], idx8[:, h:],
+                                           r3, offs, num_corners, md,
+                                           depth + 1)
+    tile_v = plan[0]
+    base = jnp.concatenate(
+        [idx8[:, :, gk * num_corners] for gk in range(groups)], axis=1)
+    # ONE permutation gather: row gathers are dispatch-bound (~same cost at any
+    # width on v5e), so pack [grad, weights] into one payload instead of
+    # gathering them separately (profiled: 2 gathers cost more than the whole
+    # kernel win at small grids)
+    payload = jnp.concatenate(
+        [jnp.tile(g, (1, groups, 1)) if groups > 1 else g,
+         jnp.concatenate(
+             [w8[:, :, gk * num_corners:(gk + 1) * num_corners]
+              for gk in range(groups)], axis=1).astype(g.dtype)],
+        axis=-1)                                            # [B, rows, C+K]
+    idx_s, perm, starts = sort_rows(base, r3, tile_v)
+    p_rows = jnp.take_along_axis(payload, perm[..., None], axis=1)
+    g_rows, w_rows = p_rows[..., :c], p_rows[..., c:]
+    values_s = (w_rows[..., None]
+                * g_rows[:, :, None, :]).reshape(b, rows, num_corners * c)
+    return sorted_scatter_add(values_s, idx_s, starts, r3,
+                              offs[:num_corners], c, md)
+
+
 def _packed_pallas_scatter(values8, idx8, r3, offs, num_corners, md, depth=0):
     """Corner-packed Pallas scatter of values8 [B, N, 8, C] (ops/pallas/
     packed_scatter.py): groups of `num_corners` corners become channel blocks
@@ -207,19 +262,29 @@ def _devox_bwd(resolution, residuals, g):
     b, n, c = g.shape
     r3 = r * r * r
     md = _mm_dtype()
-    values = (w8[..., None].astype(g.dtype) * g[:, :, None, :])  # [B, N, 8, C]
     offs = _corner_offsets(r)
-    # corner-packed Pallas kernel: wins where its B*rows*R^3*128 MXU-slot cost
-    # stays small — small grids, narrow channels, or small batches (all
-    # crossovers measured on v5e, see docs/PERFORMANCE.md). Its fp32-precision
-    # matmul mode is ~6x slower, so high-precision contexts skip it (backward
-    # only runs in training, which uses bf16 scatter matmuls by default).
     interpret = os.environ.get("PVCNN_TPU_PALLAS_INTERPRET") == "1"
-    packed_ok = (interpret or
-                 (jax.default_backend() == "tpu" and md != jnp.float32))
+    on_tpu = interpret or jax.default_backend() == "tpu"
+    k = 8 if c <= 16 else (4 if c <= 32 else 2)
+    # first choice: the SORTED corner-packed kernel — rows sorted by bin, each
+    # output tile matmuls only its own row window (ops/pallas/sorted_scatter.py,
+    # docs/PERFORMANCE.md). Only for LARGE grids: the kernel's win over the
+    # unsorted one scales with the bin count, while its fixed overhead (a
+    # dispatch-bound permutation row-gather) doesn't — at R<=16 the gather
+    # costs more than the matmul saving (profiled on v5e).
+    if on_tpu and c % 8 == 0 and c <= 64 and r3 % 128 == 0 and r3 >= 16384:
+        dflat = _sorted_pallas_scatter(g, w8, idx8, r3, offs, k, md)
+        if dflat is not None:
+            return dflat.reshape(b, r, r, r, c).astype(g.dtype), None
+    values = (w8[..., None].astype(g.dtype) * g[:, :, None, :])  # [B, N, 8, C]
+    # second: the unsorted corner-packed Pallas kernel — wins where its
+    # B*rows*R^3*128 MXU-slot cost stays small (small grids, narrow channels,
+    # small batches; crossovers measured on v5e). Its fp32-precision matmul
+    # mode is ~6x slower, so high-precision contexts skip it.
+    packed_ok = interpret or (jax.default_backend() == "tpu"
+                              and md != jnp.float32)
     if (packed_ok and c % 8 == 0 and c <= 64 and r3 % 128 == 0
             and (r3 <= 4096 or c <= 16 or (n <= 2048 and b * n <= 65536))):
-        k = 8 if c <= 16 else (4 if c <= 32 else 2)
         dflat = _packed_pallas_scatter(values, idx8, r3, offs, k, md)
         if dflat is not None:
             return dflat.reshape(b, r, r, r, c).astype(g.dtype), None

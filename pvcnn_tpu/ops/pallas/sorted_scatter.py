@@ -1,0 +1,229 @@
+"""Pallas TPU kernel: SORTED corner-packed one-hot scatter-add.
+
+The corner-packed scatter (ops/pallas/packed_scatter.py) pays O(rows * KC *
+num_bins) MXU work because every output bin-tile masks and multiplies ALL rows.
+But rows can be pre-sorted by bin id for ~0.1-0.9 ms (XLA sort_key_val on
+lane-sized batches), after which the rows landing in one bin-tile form a
+contiguous window located by a host-side searchsorted. This kernel only
+matmuls the row BLOCKS overlapping each tile's window:
+
+    per tile g:  tile = sum_{blocks i in window}
+                   values[:, off_i:off_i+bs] @ onehot(idx[off_i:off_i+bs] - g*TILE)
+
+Rows of neighboring tiles inside an over-read block fall outside [0, TILE) in
+the relative one-hot and vanish, so block windows only need bs-alignment, not
+exact bounds. Expected MXU work drops from rows * KC * num_bins to
+~rows * KC * TILE (one block per tile plus alignment spill) — 13-30x less at
+PVCNN shapes; measured end-to-end wins on v5e are 1.7-2.7x over the unsorted
+packed kernel (docs/PERFORMANCE.md) because mask-build, ring traffic and loop
+overhead don't shrink.
+
+The ring-buffer emit (shifted combine of the K corner channel groups, see
+packed_scatter.py's module docstring) is unchanged. The reference semantics
+implemented are still trilinear_devoxelize_grad_kernel's scatter
+(reference: modules/functional/src/interpolate/trilinear_devox.cu:119-162).
+
+Layout note: the per-block one-hot compare needs bin ids on SUBLANES
+([bs, 1] against a [bs, TILE] iota), so the kernel takes idx as [rows, 1] —
+whose lane dim pads to 128 in VMEM. The plan therefore caps rows (the caller
+halves N and sums partial scatters, as for the unsorted kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["sorted_scatter_add", "sorted_scatter_plan", "sort_rows"]
+
+
+def _interpret() -> bool:
+    return os.environ.get("PVCNN_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
+def sorted_scatter_plan(num_bins: int, rows: int, kc: int, c: int,
+                        off_max: int, mm_dtype, batch: int):
+    """Pick (tile_v, chunk_tiles, bs), or None if infeasible."""
+    if rows % 8 or c % 8 or kc % 8 or kc > 128:
+        return None
+    mm_bytes = 4 if mm_dtype == jnp.float32 else 2
+    # block size: sublane-window granularity. Small batches amortize per-tile
+    # loop overhead worse; a wider block halves the iterations (measured).
+    bs = 256 if batch * rows <= 65536 else 128
+    if rows % bs:
+        return None
+    for tile_v in (512, 256, 128):
+        if num_bins % tile_v:
+            continue
+        n_slots = off_max // tile_v + 2
+        n_tiles = num_bins // tile_v
+        # idx [rows, 1] pads lanes to 128; inputs/out double-buffer
+        fixed = ((rows * 128 * 4 + kc * rows * mm_bytes) * 2
+                 + kc * n_slots * tile_v * 4
+                 + kc * tile_v * 4 + bs * tile_v * (4 + 2 * mm_bytes))
+        chunk_tiles = n_tiles
+        while chunk_tiles % 2 == 0 and (
+                fixed + 2 * max(c, 8) * chunk_tiles * tile_v * 4
+                > 14 * 1024 * 1024):
+            chunk_tiles //= 2
+        if fixed + 2 * max(c, 8) * chunk_tiles * tile_v * 4 \
+                <= 14 * 1024 * 1024:
+            return tile_v, chunk_tiles, bs
+    return None
+
+
+def _sorted_kernel(mm_dtype, precision, tile_v, n_warm, n_slots, offsets, c,
+                   chunk_tiles, bs, starts_ref, idx_ref, values_ref,
+                   out_ref, ring):
+    # starts_ref [B, n_tiles+1] SMEM (scalar prefetch); idx_ref [1, rows, 1]
+    # int32 SORTED; values_ref [1, kc, rows] mm_dtype (row-sorted to match);
+    # out_ref [1, c, chunk_tiles*tile_v] f32; ring [kc, n_slots*tile_v] f32
+    rows = idx_ref.shape[1]
+    kc = values_ref.shape[1]
+    bidx = pl.program_id(0)
+    j = pl.program_id(1)
+
+    base_tile = j * chunk_tiles - n_warm
+    total = chunk_tiles + n_warm
+    u = min(4, total)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bs, tile_v), 1)
+
+    def tile_step(t):
+        valid = t < total
+        g = base_tile + t                   # global packed/output tile id
+        slot = jax.lax.rem(g + n_slots, n_slots)
+
+        @pl.when(valid & (g < 0))
+        def _zero():                        # ring must not leak the previous
+            ring[:, pl.ds(slot * tile_v, tile_v)] = jnp.zeros(
+                (kc, tile_v), jnp.float32)  # batch item's tiles into the emit
+
+        @pl.when(valid & (g >= 0))
+        def _compute():
+            gc = jax.lax.max(g, 0)
+            s = starts_ref[bidx, gc]
+            e = starts_ref[bidx, gc + 1]
+            blk_lo = jax.lax.div(s, bs)
+            nblk = jax.lax.div(e - blk_lo * bs + bs - 1, bs)
+
+            def blk_body(i, acc):
+                off = pl.multiple_of((blk_lo + i) * bs, bs)
+                vals = values_ref[0, :, pl.ds(off, bs)]          # [kc, bs]
+                # one-hot within this tile; rows of neighboring tiles in the
+                # over-read block fall outside [0, tile_v) and vanish
+                rel = idx_ref[0, pl.ds(off, bs), :] - g * tile_v
+                mask = (cols == rel).astype(mm_dtype)            # [bs, tile_v]
+                return acc + jax.lax.dot(
+                    vals, mask, precision=precision,
+                    preferred_element_type=jnp.float32)
+
+            tile = jax.lax.fori_loop(
+                0, nblk, blk_body, jnp.zeros((kc, tile_v), jnp.float32))
+            ring[:, pl.ds(slot * tile_v, tile_v)] = tile
+
+        @pl.when(valid & (t >= n_warm))
+        def _emit():
+            acc = None
+            for k, off in enumerate(offsets):
+                a, bk = off // tile_v, off % tile_v
+                s_hi = jax.lax.rem(g - a + n_slots, n_slots)
+                hi_tile = ring[k * c:(k + 1) * c, pl.ds(s_hi * tile_v, tile_v)]
+                if bk == 0:
+                    contrib = hi_tile
+                else:
+                    s_lo = jax.lax.rem(g - a - 1 + n_slots, n_slots)
+                    lo_tile = ring[k * c:(k + 1) * c,
+                                   pl.ds(s_lo * tile_v, tile_v)]
+                    contrib = jnp.concatenate(
+                        [lo_tile[:, tile_v - bk:], hi_tile[:, :tile_v - bk]],
+                        axis=1)
+                acc = contrib if acc is None else acc + contrib
+            out_ref[0, :, pl.ds((t - n_warm) * tile_v, tile_v)] = acc
+
+    def step(i, _):
+        for k in range(u):
+            tile_step(i * u + k)
+        return 0
+
+    jax.lax.fori_loop(0, (total + u - 1) // u, step, 0)
+
+
+def sort_rows(base_idx: jnp.ndarray, num_bins: int, tile_v: int):
+    """Sort rows by bin id. base_idx [B, rows] -> (idx_s, perm, starts) with
+    starts[b, t] = first sorted row whose bin >= t*tile_v ([B, n_tiles+1])."""
+    b, rows = base_idx.shape
+    idx_s, perm = jax.lax.sort_key_val(
+        base_idx.astype(jnp.int32),
+        jnp.broadcast_to(jnp.arange(rows, dtype=jnp.int32), (b, rows)),
+        dimension=1)
+    n_tiles = num_bins // tile_v
+    bounds = jnp.arange(1, n_tiles + 1, dtype=jnp.int32) * tile_v
+    starts = jax.vmap(
+        lambda s: jnp.searchsorted(s, bounds).astype(jnp.int32))(idx_s)
+    starts = jnp.concatenate([jnp.zeros((b, 1), jnp.int32), starts], axis=1)
+    return idx_s, perm, starts
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _sorted_scatter(values_s, idx_s, starts, num_bins, offsets, c, mm_dtype):
+    b, rows, kc = values_s.shape
+    plan = sorted_scatter_plan(num_bins, rows, kc, c, max(offsets), mm_dtype,
+                               b)
+    assert plan is not None, (num_bins, rows, kc, c)
+    tile_v, chunk_tiles, bs = plan
+    assert starts.shape[1] == num_bins // tile_v + 1
+    n_chunks = num_bins // (tile_v * chunk_tiles)
+    off_max = max(offsets)
+    n_slots = off_max // tile_v + 2
+    n_warm = n_slots - 1
+    precision = (jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, rows, 1), lambda i, j, s_ref: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kc, rows), lambda i, j, s_ref: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, chunk_tiles * tile_v),
+                               lambda i, j, s_ref: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((kc, n_slots * tile_v), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_sorted_kernel, mm_dtype, precision, tile_v, n_warm,
+                          n_slots, offsets, c, chunk_tiles, bs),
+        out_shape=jax.ShapeDtypeStruct((b, c, num_bins), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(starts, idx_s[:, :, None],
+      jnp.transpose(values_s, (0, 2, 1)).astype(mm_dtype))
+    return jnp.transpose(out, (0, 2, 1))                     # [B, bins, C]
+
+
+def sorted_scatter_add(values_s: jnp.ndarray, idx_s: jnp.ndarray,
+                       starts: jnp.ndarray, num_bins: int, offsets, c: int,
+                       mm_dtype=None):
+    """Corner-packed scatter-add of PRE-SORTED rows (see `sort_rows`).
+
+    values_s: [B, rows, K*C] — row r's channel block k*C:(k+1)*C is scattered
+              into bin `idx_s[b, r] + offsets[k]`. Rows must be sorted by
+              idx_s along axis 1 (values gathered through the sort perm).
+    idx_s:    [B, rows] int32 sorted base bins in [0, num_bins).
+    starts:   [B, n_tiles+1] tile row-window bounds from `sort_rows` (must be
+              built with the tile_v the plan picks — both read
+              `sorted_scatter_plan`).
+    Contributions landing at bins >= num_bins MUST carry zero values (the
+    trilinear-weight invariant); they are dropped. Returns [B, bins, C] f32.
+    """
+    from pvcnn_tpu.ops.pallas.scatter import _mm_dtype
+
+    return _sorted_scatter(values_s, idx_s, starts, num_bins, tuple(offsets),
+                           c, mm_dtype or _mm_dtype())

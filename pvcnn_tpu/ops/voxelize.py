@@ -31,14 +31,56 @@ from pvcnn_tpu.ops.pallas.scatter import (onehot_scatter_add,
 __all__ = ["avg_voxelize", "normalize_coords"]
 
 
+def _sorted_scatter_sum(values, idx, num_bins, mm_dtype, depth=0):
+    """Scatter via the SORTED one-hot kernel (ops/pallas/sorted_scatter.py,
+    K=1): rows sorted by bin so each output tile only matmuls its own row
+    window. Channels pad to a lane-friendly multiple of 8. None if the VMEM
+    plan never fits (caller falls back)."""
+    from pvcnn_tpu.ops.pallas.sorted_scatter import (sort_rows,
+                                                     sorted_scatter_add,
+                                                     sorted_scatter_plan)
+
+    b, n, c = values.shape
+    c8 = -(-c // 8) * 8
+    plan = sorted_scatter_plan(num_bins, n, c8, c8, 0, mm_dtype, b)
+    if plan is None:
+        if depth >= 4 or n % 16:
+            return None
+        h = n // 2
+        lo = _sorted_scatter_sum(values[:, :h], idx[:, :h], num_bins,
+                                 mm_dtype, depth + 1)
+        if lo is None:
+            return None
+        return lo + _sorted_scatter_sum(values[:, h:], idx[:, h:], num_bins,
+                                        mm_dtype, depth + 1)
+    if c8 != c:
+        values = jnp.pad(values, ((0, 0), (0, 0), (0, c8 - c)))
+    idx_s, perm, starts = sort_rows(idx, num_bins, plan[0])
+    values_s = jnp.take_along_axis(values, perm[..., None], axis=1)
+    out = sorted_scatter_add(values_s, idx_s, starts, num_bins, (0,), c8,
+                             mm_dtype)
+    return out[..., :c] if c8 != c else out
+
+
 def _scatter_sum(values: jnp.ndarray, idx: jnp.ndarray, num_bins: int):
     """values [B, N, C], idx [B, N] -> [B, num_bins, C] via the fastest
     available deterministic scatter. Large N is halved recursively until the
     Pallas kernel's VMEM budget fits (scatters are additive)."""
+    import os
+
     from pvcnn_tpu.ops.pallas.scatter import _mm_dtype
 
     b, n, c = values.shape
     mm_dtype = _mm_dtype()
+    on_tpu = (jax.default_backend() == "tpu"
+              or os.environ.get("PVCNN_TPU_PALLAS_INTERPRET") == "1")
+    # sorted path only where the one-hot kernel's O(C*N*bins) matmul cost is
+    # large enough to beat the sort's fixed dispatch-bound row-gather
+    # (profiled on v5e: loses at R=32/N=2048 with narrow C, wins at N>=4096)
+    if on_tpu and num_bins % 128 == 0 and num_bins >= 16384 and n >= 4096:
+        out = _sorted_scatter_sum(values, idx, num_bins, mm_dtype)
+        if out is not None:
+            return out                    # f32, like the one-hot kernel
     if pallas_scatter_supported(num_bins, n, c, mm_dtype):
         return onehot_scatter_add(values, idx, num_bins, mm_dtype)
     if (num_bins % 128 == 0 and n % 2 == 0 and n > 4096

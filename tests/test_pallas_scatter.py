@@ -50,6 +50,26 @@ def test_avg_voxelize_uses_fp32_under_precision_context(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_avg_voxelize_sorted_path_exact(rng):
+    """n a multiple of the sorted kernel's block size -> the sorted scatter
+    branch of _scatter_sum runs (pin it), and must match the oracle."""
+    from pvcnn_tpu import ops
+    from pvcnn_tpu.ops.voxelize import _sorted_scatter_sum
+    b, n, c, r = 2, 256, 4, 8
+    feats = rng.randn(b, n, c).astype(np.float32)
+    vc = rng.randint(0, r, size=(b, n, 3)).astype(np.int32)
+    flat = vc[..., 0] * r * r + vc[..., 1] * r + vc[..., 2]
+    ones = np.concatenate([feats, np.ones((b, n, 1), np.float32)], axis=-1)
+    assert _sorted_scatter_sum(jnp.asarray(ones), jnp.asarray(flat),
+                               r * r * r, jnp.float32) is not None
+    with jax.default_matmul_precision("float32"):
+        got = np.asarray(ops.avg_voxelize(jnp.asarray(feats), jnp.asarray(vc),
+                                          r))
+    import oracles
+    want = oracles.avg_voxelize(feats, vc, r)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def _devox_bwd_reference(w, nc, r, c):
     import oracles
     return oracles.trilinear_devoxelize_grad(w, nc, r)
@@ -98,6 +118,70 @@ def test_packed_scatter_row_halving(rng):
     values = np.asarray(w8)[..., None] * w[:, :, None, :]
     got = _packed_pallas_scatter(jnp.asarray(values), idx8, r * r * r,
                                  _corner_offsets(r), 8, jnp.float32)
+    want = _devox_bwd_reference(w, nc, r, c)
+    np.testing.assert_allclose(np.asarray(got), want.reshape(got.shape),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "n,c,r",
+    [(256, 16, 8),     # K=8 full pack, rows=N=256 (bs=256 window)
+     (256, 32, 8),     # K=4, rows=2N
+     (512, 64, 8),     # K=2, rows=4N
+     (256, 8, 16)])    # K=8 at R=16 (multiple bin tiles)
+def test_devox_bwd_sorted_pallas(rng, n, c, r):
+    """The SORTED corner-packed scatter (ops/pallas/sorted_scatter.py) must be
+    oracle-exact for every pack width."""
+    from pvcnn_tpu.ops.devoxelize import (_corner_offsets, _corners,
+                                          _sorted_pallas_scatter)
+    b = 2
+    nc = rng.uniform(0, r - 1, size=(b, n, 3)).astype(np.float32)
+    nc[0, 0] = [r - 1, r - 1, r - 1]       # exact boundary: collapsed corners
+    nc[0, 1] = [0, 0, 0]
+    w = rng.randn(b, n, c).astype(np.float32)
+    idx8, w8 = _corners(jnp.asarray(nc), r)
+    k = 8 if c <= 16 else (4 if c <= 32 else 2)
+    got = _sorted_pallas_scatter(jnp.asarray(w), w8, idx8, r * r * r,
+                                 _corner_offsets(r), k, jnp.float32)
+    assert got is not None
+    want = _devox_bwd_reference(w, nc, r, c)
+    np.testing.assert_allclose(np.asarray(got), want.reshape(got.shape),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sorted_scatter_skewed_bins(rng):
+    """Every point in ONE voxel: a single tile's window spans all row blocks
+    (multi-iteration inner loop), every other tile is empty (zero-block
+    windows)."""
+    from pvcnn_tpu.ops.devoxelize import (_corner_offsets, _corners,
+                                          _sorted_pallas_scatter)
+    b, n, c, r = 1, 256, 16, 8
+    nc = np.full((b, n, 3), 2.5, np.float32)
+    w = rng.randn(b, n, c).astype(np.float32)
+    idx8, w8 = _corners(jnp.asarray(nc), r)
+    got = _sorted_pallas_scatter(jnp.asarray(w), w8, idx8, r * r * r,
+                                 _corner_offsets(r), 8, jnp.float32)
+    assert got is not None
+    want = _devox_bwd_reference(w, nc, r, c)
+    np.testing.assert_allclose(np.asarray(got), want.reshape(got.shape),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sorted_scatter_row_halving(rng):
+    """rows too large for the sorted VMEM plan -> the caller halves N and sums
+    the partial scatters."""
+    from pvcnn_tpu.ops.pallas.sorted_scatter import sorted_scatter_plan
+    from pvcnn_tpu.ops.devoxelize import (_corner_offsets, _corners,
+                                          _sorted_pallas_scatter)
+    b, n, c, r = 1, 16384, 16, 8
+    assert sorted_scatter_plan(r * r * r, n, 8 * c, c, _corner_offsets(r)[-1],
+                               jnp.float32, b) is None
+    nc = rng.uniform(0, r - 1, size=(b, n, 3)).astype(np.float32)
+    w = rng.randn(b, n, c).astype(np.float32)
+    idx8, w8 = _corners(jnp.asarray(nc), r)
+    got = _sorted_pallas_scatter(jnp.asarray(w), w8, idx8, r * r * r,
+                                 _corner_offsets(r), 8, jnp.float32)
+    assert got is not None
     want = _devox_bwd_reference(w, nc, r, c)
     np.testing.assert_allclose(np.asarray(got), want.reshape(got.shape),
                                rtol=1e-4, atol=1e-4)
