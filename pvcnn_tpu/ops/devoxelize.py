@@ -106,15 +106,39 @@ def _shift_combine(packed, offs):
     return out
 
 
-def _use_packed_fwd(n: int, r3: int, c: int, dtype) -> bool:
-    # measured on v5e: the packed gather wins when the gather rows dominate and
-    # the per-item grid is big enough to be in the slow-gather regime; packing a
-    # small fp32 grid 8x in channels pushes *it* into that regime instead. bf16
-    # halves the packed-table build and row bytes, so packing wins everywhere
-    # the row condition holds (ShapeNet bf16 R=32: 6.7 -> 3.9 ms at B=64).
-    if 8 * n < 2 * r3:
-        return False
-    return dtype == jnp.bfloat16 or r3 * c * 4 > 2 * 1024 * 1024
+def _fwd_pack(n: int, r3: int, c: int, dtype) -> int:
+    """Corner-pack level for the forward gather: 1 (plain 8N-row gather), 2
+    (z-pair rows, 4N gather), 4 (zy-quad rows, 2N gather), or 8 (full corner
+    rows, N gather).
+
+    Packing trades a dense table build (write pack*grid bytes) for a pack-x
+    gather-row reduction. Measured on v5e (fwd ms at p1|p2|p4|p8):
+      B=64 N=2048 C=16 R=32 bf16:  9.4 | 16.1 |  9.0 |  8.8   -> 8 (barely)
+      B=64 N=2048 C=32 R=16 bf16:  2.8 |  2.9 |  2.9 |  3.2   -> 1
+      B=8  N=8192 C=32 R=32 fp32:  5.7 |  5.1 |  3.9 |  3.0   -> 8
+      B=32 N=2048 C=64 R=32 fp32:  5.6 | 12.7 | 22.1 | 30.9   -> 1
+    The isolated numbers suggest p1 at R=16, but IN-STEP (bench.py A/B,
+    2 runs each) p8 wins decisively there too — 2.90-2.92M vs 2.54-2.55M
+    pts/s — the packed table's dense build schedules/fuses better inside the
+    full backward than the 8N-row gather. So: pack 8 when the gather rows
+    dominate the table build (8N >= 2R^3) and the grid is in the slow-gather
+    regime; the interleaved p2/p4 tables lower poorly and never win.
+    Overridable via PVCNN_TPU_DEVOX_FWD_PACK."""
+    import os
+
+    forced = os.environ.get("PVCNN_TPU_DEVOX_FWD_PACK")
+    if forced:
+        return int(forced)
+    if 8 * n >= 2 * r3 and (dtype == jnp.bfloat16
+                            or r3 * c * 4 > 2 * 1024 * 1024):
+        return 8
+    # bf16 narrow channels: the packed build is cheap enough that p8 wins
+    # in-step even when rows don't dominate (headline R=32 C=16: bench 2.62 ->
+    # 2.90M pts/s). Wide channels (C>32) invert it: the 8C table build
+    # dwarfs the row saving (C=64 R=32 isolated: p8 31 ms vs p1 5.6).
+    if (dtype == jnp.bfloat16 and c <= 32 and 8 * n >= r3 // 2):
+        return 8
+    return 1
 
 
 def _devox_fwd(grid, norm_coords, resolution):
@@ -124,19 +148,25 @@ def _devox_fwd(grid, norm_coords, resolution):
     n = norm_coords.shape[1]
     r3 = r * r * r
     idx8, w8 = _corners(norm_coords, r)
-    if _use_packed_fwd(n, r3, c, grid.dtype):
+    pack = _fwd_pack(n, r3, c, grid.dtype)
+    if pack > 1:
         flat = grid.reshape(b, r3, c)
         offs = _corner_offsets(r)
-        padded = jnp.pad(flat, ((0, 0), (0, offs[-1]), (0, 0)))
+        shifts = offs[:pack]                # within-group corner offsets
+        groups = 8 // pack
+        padded = jnp.pad(flat, ((0, 0), (0, shifts[-1]), (0, 0)))
         packed = jnp.stack([
-            jax.lax.dynamic_slice_in_dim(padded, o, r3, axis=1) for o in offs
+            jax.lax.dynamic_slice_in_dim(padded, o, r3, axis=1)
+            for o in shifts
         ], axis=2)
         # the barrier keeps XLA from fusing the shifts into the gather (which
         # would silently rebuild the 8N-row gather this path exists to avoid)
-        packed = jax.lax.optimization_barrier(packed.reshape(b, r3, 8 * c))
-        base = idx8[..., 0]
-        gidx = (base + (jnp.arange(b, dtype=jnp.int32) * r3)[:, None]).reshape(-1)
-        rows = jnp.take(packed.reshape(b * r3, 8 * c), gidx, axis=0)
+        packed = jax.lax.optimization_barrier(
+            packed.reshape(b, r3, pack * c))
+        bases = idx8[..., ::pack]           # [B, N, groups] group base corners
+        gidx = (bases.reshape(b, n * groups)
+                + (jnp.arange(b, dtype=jnp.int32) * r3)[:, None]).reshape(-1)
+        rows = jnp.take(packed.reshape(b * r3, pack * c), gidx, axis=0)
         rows = rows.reshape(b, n, 8, c)
     else:
         # one fused global 8N-row gather; measured faster than eight separate
