@@ -132,11 +132,13 @@ def _fwd_pack(n: int, r3: int, c: int, dtype) -> int:
     if 8 * n >= 2 * r3 and (dtype == jnp.bfloat16
                             or r3 * c * 4 > 2 * 1024 * 1024):
         return 8
-    # bf16 narrow channels: the packed build is cheap enough that p8 wins
-    # in-step even when rows don't dominate (headline R=32 C=16: bench 2.62 ->
-    # 2.90M pts/s). Wide channels (C>32) invert it: the 8C table build
-    # dwarfs the row saving (C=64 R=32 isolated: p8 31 ms vs p1 5.6).
-    if (dtype == jnp.bfloat16 and c <= 32 and 8 * n >= r3 // 2):
+    # narrow channels: the packed build is cheap enough that p8 wins in-step
+    # even when rows don't dominate (bf16 headline R=32 C=16: bench 2.62 ->
+    # 2.90M pts/s; fp32 B=32 recipe 1.76 -> 1.80M). Wide channels invert it:
+    # the 8C table build dwarfs the row saving (C=64 R=32 fp32 isolated:
+    # p8 31 ms vs p1 5.6).
+    narrow = c <= (32 if dtype == jnp.bfloat16 else 16)
+    if narrow and 8 * n >= r3 // 2:
         return 8
     return 1
 
