@@ -198,11 +198,14 @@ def _sorted_pallas_scatter(g, w8, idx8, r3, offs, num_corners, md, depth=0):
     plan = sorted_scatter_plan(r3, rows, num_corners * c, c,
                                offs[num_corners - 1], md, b)
     if plan is None:
-        # halving doubles the fixed sort + permutation-gather overhead; with a
-        # bf16 matmul budget the unsorted packed kernel (no gather at all) is
-        # the better fallback (measured on PVCNN2 R=32: packed 64.2 vs halved
-        # sorted 66.6 ms/step). fp32 has no fast unsorted option — halve.
-        if depth == 0 and md != jnp.float32:
+        # halving doubles the fixed sort + permutation-gather overhead. For
+        # bf16 ACTIVATIONS the XLA half-pack fallback wins in-step (PVCNN2
+        # bf16: 63.0 vs 66.6 ms/step with halved sorted) — the permutation
+        # gathers price in worse there. For fp32 activations halved sorted
+        # wins (PVCNN2 fp32: 76.3 vs 78.5). Keyed on g.dtype, NOT the matmul
+        # dtype: _mm_dtype() is bf16 inside a default-precision train step
+        # regardless of the model's activation dtype.
+        if depth == 0 and g.dtype == jnp.bfloat16:
             return None
         if depth >= 4 or n % 16:
             return None
