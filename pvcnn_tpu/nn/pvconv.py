@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from pvcnn_tpu import ops
+from pvcnn_tpu.nn.conv3d import Conv3dSame
 from pvcnn_tpu.nn.shared_mlp import BatchNorm, SharedMLP
 
 __all__ = ["Voxelization", "SE3d", "PVConv"]
@@ -74,9 +75,11 @@ class PVConv(nn.Module):
         )(features, coords)
 
         k = int(self.kernel_size)
-        for _ in range(2):
-            grid = nn.Conv(self.out_channels, (k, k, k), padding=k // 2,
-                           dtype=self.dtype)(grid)
+        for i in range(2):
+            # named Conv_{i} so checkpoint-import paths match flax nn.Conv's
+            # auto-naming; custom wgrad backward — see nn/conv3d.py
+            grid = Conv3dSame(self.out_channels, k, dtype=self.dtype,
+                              name=f"Conv_{i}")(grid)
             grid = BatchNorm(epsilon=1e-4, dtype=self.dtype)(grid, train=train)
             grid = nn.leaky_relu(grid, negative_slope=0.1)
         if self.with_se:

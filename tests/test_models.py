@@ -147,3 +147,44 @@ class TestFrustumModels:
             size_templates=np.asarray(SIZE_TEMPLATES))
         loss = criterion(out_eval, targets)
         assert np.isfinite(float(loss))
+
+
+class TestConv3d:
+    def test_custom_wgrad_matches_xla_grads(self, rng):
+        """conv3d_same's hand-written backward (nn/conv3d.py) must match
+        XLA's autodiff of the same convolution for both operands."""
+        import jax
+        import jax.numpy as jnp
+        from pvcnn_tpu.nn.conv3d import _conv, conv3d_same
+
+        x = jnp.asarray(rng.randn(2, 5, 6, 7, 4).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, 3, 4, 8).astype(np.float32))
+        co = jnp.asarray(rng.randn(2, 5, 6, 7, 8).astype(np.float32))
+
+        def f_custom(x, k):
+            return jnp.sum(conv3d_same(x, k) * co)
+
+        def f_xla(x, k):
+            return jnp.sum(_conv(x, k) * co)
+
+        gx1, gk1 = jax.grad(f_custom, argnums=(0, 1))(x, k)
+        gx2, gk2 = jax.grad(f_xla, argnums=(0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_conv3d_same_module_param_names(self, rng):
+        """Param structure must match flax nn.Conv ('kernel'/'bias' under
+        Conv_{i}) so checkpoint-import mappings keep working."""
+        import jax
+        from pvcnn_tpu.nn.pvconv import PVConv
+
+        m = PVConv(out_channels=8, resolution=4)
+        feats = jnp.asarray(rng.randn(1, 32, 4).astype(np.float32))
+        coords = jnp.asarray(rng.randn(1, 32, 3).astype(np.float32))
+        vs = m.init({"params": jax.random.PRNGKey(0)}, feats, coords)
+        params = vs["params"]
+        assert "Conv_0" in params and "Conv_1" in params
+        assert set(params["Conv_0"].keys()) == {"kernel", "bias"}
+        assert params["Conv_0"]["kernel"].shape == (3, 3, 3, 4, 8)

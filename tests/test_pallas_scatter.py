@@ -187,6 +187,27 @@ def test_sorted_scatter_row_halving(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_sorted_scatter_halving_keyed_on_activation_dtype(rng):
+    """When the VMEM plan rejects the full row count, fp32 gradients halve and
+    proceed (sorted still beats the XLA fallback for them), while bf16
+    gradients bail out at depth 0 to the half-pack fallback that measures
+    faster in-step. Regression test: the gate must key on the GRADIENT dtype —
+    the matmul dtype is bf16 inside any default-precision step."""
+    from pvcnn_tpu.ops.devoxelize import (_corner_offsets, _corners,
+                                          _sorted_pallas_scatter)
+    b, n, c, r = 1, 16384, 16, 8
+    nc = rng.uniform(0, r - 1, size=(b, n, 3)).astype(np.float32)
+    idx8, w8 = _corners(jnp.asarray(nc), r)
+    g32 = jnp.asarray(rng.randn(b, n, c), dtype=jnp.float32)
+    assert _sorted_pallas_scatter(g32, w8, idx8, r * r * r,
+                                  _corner_offsets(r), 8,
+                                  jnp.bfloat16) is not None
+    g16 = g32.astype(jnp.bfloat16)
+    assert _sorted_pallas_scatter(g16, w8, idx8, r * r * r,
+                                  _corner_offsets(r), 8,
+                                  jnp.bfloat16) is None
+
+
 def test_devoxelize_grad_through_pallas_path(rng):
     from pvcnn_tpu import ops
     b, n, c, r = 1, 32, 2, 8
