@@ -64,16 +64,23 @@ class _S3DISDataset:
         import h5py
 
         h5f = h5py.File(filename, "r")
-        entry = (h5f["data"], h5f["label_seg"], h5f["data_num"])
+        entry = (h5f, h5f["data"], h5f["label_seg"], h5f["data_num"])
         if len(self.cache) >= self.cache_size:
             victim = sorted(self.cache)[np.random.randint(0, self.cache_size)]
-            self.cache.pop(victim)
+            self.cache.pop(victim)[0].close()
         self.cache[filename] = entry
         return entry
 
+    def __del__(self):
+        for entry in getattr(self, "cache", {}).values():
+            try:
+                entry[0].close()
+            except Exception:
+                pass
+
     def __getitem__(self, index):
         filename = self.index_to_filename[index]
-        scene_data, scene_label, scene_num_points = self._file(filename)
+        _, scene_data, scene_label, scene_num_points = self._file(filename)
         pos = index - self.filename_to_start_index[filename]
         window_data = np.asarray(scene_data[pos], dtype=np.float32)
         window_label = np.asarray(scene_label[pos], dtype=np.int64)

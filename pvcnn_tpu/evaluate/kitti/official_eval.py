@@ -7,6 +7,12 @@ calculate_iou_partly) but only ever *reads* the per-image diagonal blocks; we
 compute exactly the per-image matrices, which on the host is both faster and
 simpler. Matching semantics (greedy score-ordered assignment, don't-care handling,
 41-point precision sampling, 11-point mAP summary) are preserved verbatim.
+
+Upstream attribution: the matching protocol implemented here is the official
+KITTI object-detection AP protocol as codified by the public
+kitti-object-eval-python project (Apache-2.0), which the reference ports at
+evaluate/kitti/utils/eval.py. compute_statistics below preserves that protocol's
+semantics by necessity — divergence would be an evaluation bug.
 """
 
 from __future__ import annotations

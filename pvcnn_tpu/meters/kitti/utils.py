@@ -2,7 +2,15 @@
 
 Pure numpy (the reference numba-jits two tiny helpers; batch sizes here are small
 enough that plain numpy is fine on the host). Sutherland-Hodgman polygon clipping
-of the bird's-eye-view rectangles + height overlap."""
+of the bird's-eye-view rectangles + height overlap.
+
+Upstream attribution: the polygon_clip / poly_area helpers follow the textbook
+Sutherland-Hodgman and shoelace formulations also used by the reference's
+meters/kitti/utils.py, which carries an Apache-2.0 header (Charles R. Qi /
+Zhijian Liu, from the Frustum-PointNets codebase, itself citing rosettacode's
+Sutherland-Hodgman page). This file is an independent numpy re-expression of
+those public algorithms; the Apache-2.0 provenance of the protocol is
+acknowledged here."""
 
 from __future__ import annotations
 

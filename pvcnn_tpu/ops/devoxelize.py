@@ -128,7 +128,15 @@ def _fwd_pack(n: int, r3: int, c: int, dtype) -> int:
 
     forced = os.environ.get("PVCNN_TPU_DEVOX_FWD_PACK")
     if forced:
-        return int(forced)
+        try:
+            forced = int(forced)
+        except ValueError:
+            forced = -1
+        if forced not in (1, 2, 4, 8):
+            raise ValueError(
+                "PVCNN_TPU_DEVOX_FWD_PACK must be one of 1, 2, 4, 8 (corner "
+                f"pack level), got {os.environ['PVCNN_TPU_DEVOX_FWD_PACK']!r}")
+        return forced
     if 8 * n >= 2 * r3 and (dtype == jnp.bfloat16
                             or r3 * c * 4 > 2 * 1024 * 1024):
         return 8

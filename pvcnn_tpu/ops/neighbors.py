@@ -8,8 +8,10 @@ The CUDA ball query scans the N points *in index order* per center, keeping the 
 U hits inside the radius; the first hit pre-fills every slot so centers with fewer than
 U neighbors repeat their first neighbor, and centers with zero neighbors keep the
 zero-initialized index (ball_query.cpp:22-25). We reproduce those exact semantics
-without data-dependent shapes: a masked cumulative-sum ranks each in-radius point, and
-a dense scatter routes point i to slot rank(i) (overflow slots are dropped).
+without data-dependent shapes: the first U in-order hits are the U *smallest point
+ids* among the hits, so a top-k over masked point ids (XLA path) — or the fused
+Pallas selection kernel in ops/pallas/select.py, which keeps the distance plane in
+VMEM and extracts the U minima iteratively — recovers the CUDA scan exactly.
 
 Grouping is a pure gather; its atomicAdd backward (grouping.cu:58-85) is again just the
 AD transpose of the gather.

@@ -21,8 +21,14 @@ __all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch",
            "pad_batch", "unpad", "partition_params"]
 
 
-def make_mesh(num_devices: Optional[int] = None, model_axis: int = 1) -> Mesh:
-    devices = jax.devices()
+def make_mesh(num_devices: Optional[int] = None, model_axis: int = 1,
+              devices=None) -> Mesh:
+    """Build the (data, model) mesh over `devices` (default: all visible).
+
+    `devices` supports the `--devices 0,1-3` CLI subset (utils/device.py),
+    the reference's CUDA_VISIBLE_DEVICES analog (ref utils/device.py:6-21)."""
+    if devices is None:
+        devices = jax.devices()
     n = len(devices) if num_devices is None else num_devices
     assert n % model_axis == 0
     mesh_devices = np.asarray(devices[:n]).reshape(n // model_axis, model_axis)

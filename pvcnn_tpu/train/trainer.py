@@ -16,12 +16,14 @@ from typing import Any, Optional
 
 import flax
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from pvcnn_tpu.parallel import mesh as pmesh
 from pvcnn_tpu.train.optim import set_learning_rate
 
-__all__ = ["TrainState", "Trainer", "save_checkpoint", "load_checkpoint"]
+__all__ = ["TrainState", "Trainer", "DMLState", "DMLTrainer",
+           "save_checkpoint", "load_checkpoint"]
 
 
 @flax.struct.dataclass
@@ -118,14 +120,24 @@ class Trainer:
 
     # ---- public API ---------------------------------------------------------
 
+    def _set_lr(self, state, lr: float):
+        set_learning_rate(state.opt_state, lr)
+
     def train_epoch(self, state: TrainState, loader, scheduler=None,
                     writer=None, log_tag: str = "loss/train",
                     throughput_meter=None, profile_dir: str | None = None,
-                    profile_steps: int = 5):
+                    profile_steps: int = 5, scheduler_unit: str = "epoch"):
+        """Run one epoch. The step's loss may be a scalar or a pytree of named
+        scalars ({tag: scalar} — DML); either way NO host fetch happens inside
+        the loop: losses stay on device and are fetched once at epoch end
+        (a per-step float(loss) for the writer would serialize dispatch with
+        execution and forfeit the pipelining the throughput numbers rely on).
+        """
         epoch = state.epoch + 1
-        if scheduler is not None:
-            set_learning_rate(state.opt_state, scheduler(epoch))
+        if scheduler is not None and scheduler_unit == "epoch":
+            self._set_lr(state, scheduler(epoch))
         losses = []
+        steps = []
         step_in_epoch = 0
         tracing = False
         for batch in loader:
@@ -136,6 +148,8 @@ class Trainer:
                 # drop it (the DP-idiomatic adaptation of the reference's
                 # keep-partial-batches DataLoader)
                 continue
+            if scheduler is not None and scheduler_unit == "iter":
+                self._set_lr(state, scheduler(self._step_count))
             batch = pmesh.shard_batch(batch, self.mesh)
             self.root_rng, rng = jax.random.split(self.root_rng)
             # profile a span of steps in the first epoch (skip step 0: compile)
@@ -144,22 +158,39 @@ class Trainer:
                     jax.profiler.start_trace(profile_dir)
                     tracing = True
                 elif tracing and step_in_epoch > profile_steps:
-                    jax.block_until_ready(state.params)
+                    jax.block_until_ready(jax.tree.leaves(state)[:1])
                     jax.profiler.stop_trace()
                     tracing = False
             state, loss = self._train_step(state, batch, rng)
             losses.append(loss)
+            steps.append(self._step_count)
             if throughput_meter is not None:
                 throughput_meter.tick(points=bs * leaves[0].shape[1])
-            if writer is not None:
-                writer.add_scalar(log_tag, float(loss), self._step_count)
             self._step_count += 1
             step_in_epoch += 1
         if tracing:
-            jax.block_until_ready(state.params)
+            jax.block_until_ready(jax.tree.leaves(state)[:1])
             jax.profiler.stop_trace()
         state = state.replace(epoch=epoch)
-        return state, float(np.mean([float(l) for l in losses])) if losses else 0.0
+        if not losses:
+            return state, 0.0
+        # one device fetch per loss leaf for the whole epoch
+        treedef = jax.tree.structure(losses[0])
+        stacked = [np.asarray(jax.device_get(jnp.stack(leaf_series)))
+                   for leaf_series in zip(*(jax.tree.leaves(l) for l in losses))]
+        if writer is not None:
+            # dict losses carry their own writer tags (leaves are in
+            # sorted-key order, matching jax.tree.leaves on dicts)
+            tags = (sorted(losses[0]) if isinstance(losses[0], dict)
+                    else [log_tag])
+            for leaf_series, tag in zip(stacked, tags):
+                for step, val in zip(steps, leaf_series):
+                    writer.add_scalar(tag, float(val), step)
+        means = [float(np.mean(s)) for s in stacked]
+        mean_loss = jax.tree.unflatten(treedef, means)
+        if treedef.num_leaves == 1 and not isinstance(mean_loss, dict):
+            return state, means[0]
+        return state, mean_loss
 
     def predict(self, state: TrainState, inputs):
         """Eval-mode forward on a (possibly partial) numpy batch."""
@@ -176,6 +207,94 @@ class Trainer:
             for meter in meters.values():
                 meter.update(outputs, targets)
         return {k: meter.compute() for k, meter in meters.items()}
+
+
+@flax.struct.dataclass
+class DMLState:
+    """Two peer TrainStates trained jointly (deep mutual learning)."""
+    teacher: TrainState
+    student: TrainState
+    epoch: int = flax.struct.field(pytree_node=False, default=-1)
+
+
+class DMLTrainer(Trainer):
+    """Deep-mutual-learning trainer (reference: train_dml.py:107-141).
+
+    Both models' forward/backward/update run inside ONE jitted, donated step;
+    each loss adds a KL term toward the (detached) peer softmax. Reuses
+    Trainer.train_epoch — partial-batch guard, sharding, profiling, throughput,
+    epoch-end scalar flush — by making the step's loss a {tag: scalar} dict.
+    """
+
+    def __init__(self, model, criterion, tx, tx_student, criterion_dml,
+                 mesh=None, seed: int = 0,
+                 eval_matmul_precision: str = "float32"):
+        self.tx_student = tx_student
+        self.criterion_dml = criterion_dml
+        super().__init__(model, criterion, tx, mesh=mesh, seed=seed)
+
+    # ---- state --------------------------------------------------------------
+
+    def init_state(self, example_inputs) -> DMLState:
+        def one(param_seed, tx):
+            variables = self.model.init(
+                {"params": jax.random.PRNGKey(param_seed),
+                 "dropout": jax.random.PRNGKey(param_seed + 1)},
+                example_inputs, train=False)
+            return TrainState(params=variables["params"],
+                              batch_stats=variables.get("batch_stats", {}),
+                              opt_state=tx.init(variables["params"]))
+
+        state = DMLState(teacher=one(0, self.tx),
+                         student=one(100, self.tx_student))
+        return jax.device_put(state, pmesh.replicated(self.mesh))
+
+    def _set_lr(self, state: DMLState, lr: float):
+        set_learning_rate(state.teacher.opt_state, lr)
+        set_learning_rate(state.student.opt_state, lr)
+
+    # ---- step ---------------------------------------------------------------
+
+    def _forward_loss(self, params, batch_stats, inputs, targets, peer_logits,
+                      rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        outputs, mutated = self.model.apply(variables, inputs, train=True,
+                                            rngs={"dropout": rng},
+                                            mutable=["batch_stats"])
+        loss = self.criterion(outputs, targets)
+        if peer_logits is not None:
+            loss = loss + self.criterion_dml(peer_logits, outputs)
+        return loss, (mutated["batch_stats"], outputs)
+
+    def _train_step_impl(self, state: DMLState, batch, rng):
+        inputs, targets = _split_batch(batch)
+        r1, r2 = jax.random.split(rng)
+        # peer logits (detached inside kl_loss); the same rng is reused in the
+        # grad pass so the duplicate forward is CSE'd by XLA and the dropout
+        # masks match the reference's single-forward semantics
+        t, s = state.teacher, state.student
+        _, (_, logits_t) = self._forward_loss(t.params, t.batch_stats, inputs,
+                                              targets, None, r1)
+        _, (_, logits_s) = self._forward_loss(s.params, s.batch_stats, inputs,
+                                              targets, None, r2)
+
+        (loss_t, (bs_t, _)), grads_t = jax.value_and_grad(
+            self._forward_loss, has_aux=True)(t.params, t.batch_stats, inputs,
+                                              targets, logits_s, r1)
+        (loss_s, (bs_s, _)), grads_s = jax.value_and_grad(
+            self._forward_loss, has_aux=True)(s.params, s.batch_stats, inputs,
+                                              targets, logits_t, r2)
+
+        upd_t, opt_t = self.tx.update(grads_t, t.opt_state, t.params)
+        upd_s, opt_s = self.tx_student.update(grads_s, s.opt_state, s.params)
+        new_t = TrainState(
+            params=jax.tree.map(lambda p, u: p + u, t.params, upd_t),
+            batch_stats=bs_t, opt_state=opt_t, epoch=t.epoch)
+        new_s = TrainState(
+            params=jax.tree.map(lambda p, u: p + u, s.params, upd_s),
+            batch_stats=bs_s, opt_state=opt_s, epoch=s.epoch)
+        return (DMLState(teacher=new_t, student=new_s, epoch=state.epoch),
+                {"loss/train": loss_t, "loss/train_student": loss_s})
 
 
 # ---- checkpointing ----------------------------------------------------------

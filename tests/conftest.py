@@ -15,8 +15,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# exercise the Pallas kernels in interpret mode on CPU
-os.environ.setdefault("PVCNN_TPU_PALLAS_INTERPRET", "1")
+# NOTE: Pallas interpret mode is NOT enabled session-wide. Interpret-mode
+# Pallas primitives inside the big sharded train-step jits can abort XLA's CPU
+# compiler (SIGABRT observed on the round-1 suite); the kernel/op tests that
+# need interpret coverage opt in per-module via a monkeypatch fixture instead
+# (tests/test_ops.py, tests/test_pallas_scatter.py). Everything else runs the
+# XLA fallback formulations, which is what CPU would execute in production.
+os.environ.setdefault("PVCNN_TPU_PALLAS_INTERPRET", "0")
 
 import jax  # noqa: E402
 

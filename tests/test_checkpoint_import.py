@@ -106,6 +106,7 @@ def _frustum_inputs(channels):
              num_points_per_object=32, size_templates=SIZE_TEMPLATES),
      partial(ci.frustum_mapping, variant="pointnet"), None),
 ])
+@pytest.mark.slow
 def test_structural_import(make_model, mapping_fn, channels):
     model = make_model()
     if channels is None:

@@ -74,6 +74,7 @@ def _run_train(micro_shapenet, tmp_path, extra=()):
         config_mod.configs.clear()
 
 
+@pytest.mark.slow
 def test_train_dml_cli(micro_shapenet, tmp_path):
     """Deep-mutual-learning CLI: two peers, mutual KL, student checkpoints."""
     from pvcnn_tpu.utils import config as config_mod
@@ -103,6 +104,7 @@ def test_train_dml_cli(micro_shapenet, tmp_path):
         config_mod.configs.clear()
 
 
+@pytest.mark.slow
 def test_train_and_evaluate_cli(micro_shapenet, tmp_path):
     _run_train(micro_shapenet, tmp_path)
     run_dir = tmp_path / "run_out"

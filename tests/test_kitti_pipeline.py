@@ -102,6 +102,7 @@ def test_dataset(kitti_root):
     assert "rgb_score" in targets
 
 
+@pytest.mark.slow
 def test_train_and_official_eval(kitti_root, tmp_path):
     from pvcnn_tpu.utils import config as config_mod
     config_mod.configs.clear()

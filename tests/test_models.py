@@ -51,6 +51,7 @@ class TestShapeNetModels:
 
     @pytest.mark.parametrize("factory", [shapenet.pointnet2_ssg,
                                          shapenet.pointnet2_msg])
+    @pytest.mark.slow
     def test_pointnet2(self, rng, factory):
         model = factory(num_classes=NUM_CLASSES, num_shapes=NUM_SHAPES,
                         width_multiplier=0.25)
@@ -67,6 +68,7 @@ class TestS3DISModels:
         out_eval, _, _, _ = init_and_apply(model, x)
         assert out_eval.shape == (B, N, 13)
 
+    @pytest.mark.slow
     def test_pvcnn2(self, rng):
         model = s3dis.PVCNN2(num_classes=13, extra_feature_channels=6,
                              width_multiplier=0.25)
@@ -81,6 +83,7 @@ class TestS3DISModels:
         out_eval, _, _, _ = init_and_apply(model, x)
         assert out_eval.shape == (B, N, 13)
 
+    @pytest.mark.slow
     def test_pvcnn2_bf16_activations(self, rng):
         # mixed precision: dtype="bfloat16" runs activations in bf16 while
         # params and BatchNorm statistics stay fp32 (opt in with
@@ -112,6 +115,7 @@ class TestFrustumModels:
     @pytest.mark.parametrize("factory", [kitti_frustum.FrustumPointNet,
                                          kitti_frustum.FrustumPVCNNE,
                                          kitti_frustum.FrustumPointNet2])
+    @pytest.mark.slow
     def test_forward(self, rng, factory):
         model = factory(num_classes=3, num_heading_angle_bins=12,
                         num_size_templates=8, num_points_per_object=32,

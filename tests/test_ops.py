@@ -10,6 +10,14 @@ import oracles
 from pvcnn_tpu import ops
 
 
+@pytest.fixture(autouse=True)
+def _pallas_interpret(monkeypatch):
+    # op tests exercise the Pallas kernels in interpret mode; this is opt-in
+    # per module (session-wide it can SIGABRT XLA's CPU compiler inside the
+    # big sharded train-step jits, see tests/conftest.py)
+    monkeypatch.setenv("PVCNN_TPU_PALLAS_INTERPRET", "1")
+
+
 def rand_coords(rng, b, n, scale=1.0):
     return rng.randn(b, n, 3).astype(np.float32) * scale
 

@@ -9,6 +9,13 @@ import pytest
 from pvcnn_tpu.ops.pallas.scatter import onehot_scatter_add
 
 
+@pytest.fixture(autouse=True)
+def _pallas_interpret(monkeypatch):
+    # interpret mode is opt-in per kernel-test module (session-wide it can
+    # SIGABRT XLA's CPU compiler inside the big sharded train-step jits)
+    monkeypatch.setenv("PVCNN_TPU_PALLAS_INTERPRET", "1")
+
+
 def _reference(values, idx, bins):
     return np.stack([
         np.stack([values[b][idx[b] == v].sum(axis=0) for v in range(bins)])
@@ -60,8 +67,16 @@ def test_avg_voxelize_sorted_path_exact(rng):
     vc = rng.randint(0, r, size=(b, n, 3)).astype(np.int32)
     flat = vc[..., 0] * r * r + vc[..., 1] * r + vc[..., 2]
     ones = np.concatenate([feats, np.ones((b, n, 1), np.float32)], axis=-1)
-    assert _sorted_scatter_sum(jnp.asarray(ones), jnp.asarray(flat),
-                               r * r * r, jnp.float32) is not None
+    # the K=1 sorted scatter (with channel padding c=5 -> 8) must be
+    # numerically exact against a raw scatter-add, not just runnable
+    got_sums = _sorted_scatter_sum(jnp.asarray(ones), jnp.asarray(flat),
+                                   r * r * r, jnp.float32)
+    assert got_sums is not None
+    want_sums = np.zeros((b, r * r * r, c + 1), np.float32)
+    for bb in range(b):
+        np.add.at(want_sums[bb], flat[bb], ones[bb])
+    np.testing.assert_allclose(np.asarray(got_sums), want_sums, rtol=1e-5,
+                               atol=1e-5)
     with jax.default_matmul_precision("float32"):
         got = np.asarray(ops.avg_voxelize(jnp.asarray(feats), jnp.asarray(vc),
                                           r))
@@ -206,6 +221,44 @@ def test_sorted_scatter_halving_keyed_on_activation_dtype(rng):
     assert _sorted_pallas_scatter(g16, w8, idx8, r * r * r,
                                   _corner_offsets(r), 8,
                                   jnp.bfloat16) is None
+
+
+def test_scatter_multi_chunk_emit(rng):
+    """Force n_chunks > 1 in BOTH packed kernels (R=32, C=64, K=2: the full
+    output exceeds the one-chunk VMEM budget). Exercises the chunked emit's
+    per-chunk ring warm-up recompute, previously only reachable on real-TPU
+    R=32 runs."""
+    from pvcnn_tpu.ops.pallas.packed_scatter import packed_scatter_plan
+    from pvcnn_tpu.ops.pallas.sorted_scatter import sorted_scatter_plan
+    from pvcnn_tpu.ops.devoxelize import (_corner_offsets, _corners,
+                                          _packed_pallas_scatter,
+                                          _sorted_pallas_scatter)
+    b, n, c, r, k = 1, 128, 64, 32, 2
+    r3 = r * r * r
+    offs = _corner_offsets(r)
+    rows = (8 // k) * n
+    p = packed_scatter_plan(r3, rows, k * c, c, offs[k - 1], jnp.float32)
+    s = sorted_scatter_plan(r3, rows, k * c, c, offs[k - 1], jnp.float32, b)
+    assert p is not None and r3 // (p[0] * p[1]) > 1, p
+    assert s is not None and r3 // (s[0] * s[1]) > 1, s
+
+    nc = rng.uniform(0, r - 1, size=(b, n, 3)).astype(np.float32)
+    w = rng.randn(b, n, c).astype(np.float32)
+    idx8, w8 = _corners(jnp.asarray(nc), r)
+    want = _devox_bwd_reference(w, nc, r, c)
+
+    values = np.asarray(w8)[..., None] * w[:, :, None, :]
+    got_p = _packed_pallas_scatter(jnp.asarray(values), idx8, r3, offs, k,
+                                   jnp.float32)
+    assert got_p is not None
+    np.testing.assert_allclose(np.asarray(got_p), want.reshape(got_p.shape),
+                               rtol=1e-4, atol=1e-4)
+
+    got_s = _sorted_pallas_scatter(jnp.asarray(w), w8, idx8, r3, offs, k,
+                                   jnp.float32)
+    assert got_s is not None
+    np.testing.assert_allclose(np.asarray(got_s), want.reshape(got_s.shape),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_devoxelize_grad_through_pallas_path(rng):

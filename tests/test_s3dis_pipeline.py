@@ -51,6 +51,7 @@ def test_prepared_layout(s3dis_root):
             assert covered.max() < n_full
 
 
+@pytest.mark.slow
 def test_dataset_and_eval(s3dis_root, tmp_path):
     from pvcnn_tpu.data.s3dis import S3DIS
     dataset = S3DIS(root=s3dis_root, num_points=128, holdout_area=5)

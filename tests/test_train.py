@@ -36,6 +36,7 @@ class SyntheticSegDataset:
         return self.items[i]
 
 
+@pytest.mark.slow
 def test_loss_decreases_and_stats_update():
     # one flow: train -> meters -> checkpoint -> partial-batch predict, sharing a
     # single compiled trainer (the train step donates its state, so state must be
@@ -88,6 +89,120 @@ def test_loss_decreases_and_stats_update():
     assert out.shape == (3, N, NUM_CLASSES)
 
 
+@pytest.mark.slow
+def test_dml_trainer_partial_batch_and_writer():
+    """DML on the 8-device mesh with a dataset size NOT divisible by the batch
+    size: the trailing partial batch must be dropped by the shared epoch loop
+    (round-1 bug: the standalone DML loop crashed on it), scalars must flush
+    through the writer at epoch end, and both peers must train."""
+    from pvcnn_tpu.nn.loss import KLLoss
+    from pvcnn_tpu.train.trainer import DMLTrainer
+
+    model = s3dis.PVCNN(num_classes=NUM_CLASSES, extra_feature_channels=6,
+                        width_multiplier=0.125)
+    tx, _ = Adam(1e-2)
+    tx_s, _ = Adam(1e-2)
+    trainer = DMLTrainer(model, CrossEntropyLoss(), tx, tx_s, KLLoss(), seed=0)
+    state = trainer.init_state(np.zeros((1, N, C_IN), np.float32))
+    # 19 items / batch 8 -> batches of 8, 8, 3; the 3-row batch cannot shard
+    loader = DataLoader(SyntheticSegDataset(n_items=19), batch_size=B,
+                        shuffle=False, prefetch=0)
+
+    class Writer:
+        def __init__(self):
+            self.scalars = []
+
+        def add_scalar(self, tag, value, step):
+            self.scalars.append((tag, float(value), step))
+
+    writer = Writer()
+    p_teacher = jax.tree.leaves(state.teacher.params)[0].copy()
+    p_student = jax.tree.leaves(state.student.params)[0].copy()
+    state, mean_loss = trainer.train_epoch(state, loader, writer=writer)
+    assert state.epoch == 0
+    assert set(mean_loss) == {"loss/train", "loss/train_student"}
+    assert all(np.isfinite(v) for v in mean_loss.values())
+    # 2 full batches stepped, 2 tags each
+    assert len(writer.scalars) == 4
+    assert {t for t, _, _ in writer.scalars} == set(mean_loss)
+    # both peers actually updated
+    assert not np.allclose(np.asarray(p_teacher),
+                           np.asarray(jax.tree.leaves(state.teacher.params)[0]))
+    assert not np.allclose(np.asarray(p_student),
+                           np.asarray(jax.tree.leaves(state.student.params)[0]))
+    # eval path: each peer's TrainState drops into the shared evaluator
+    out = trainer.predict(state.teacher, np.random.randn(3, N, C_IN)
+                          .astype(np.float32))
+    assert out.shape == (3, N, NUM_CLASSES)
+
+
+@pytest.mark.slow
+def test_dp_gradients_match_single_device():
+    """One step's LOSS and GRADIENTS on the 8-device data-parallel mesh must
+    match the same step on a 1-device mesh with the identical (replicated)
+    initial state and full batch — the TPU-native guarantee that mesh DP is
+    pure parallelization, not a different program. Raw gradients are the right
+    comparison: post-Adam params amplify fp reduction-order noise unboundedly
+    (the first Adam step is ~lr*sign(g), so any near-zero grad whose sign flips
+    under a different psum order moves a param by 2*lr)."""
+    model = s3dis.PVCNN(num_classes=NUM_CLASSES, extra_feature_channels=6,
+                        width_multiplier=0.125)
+    rng = np.random.RandomState(0)
+    batch = (rng.randn(B, N, C_IN).astype(np.float32),
+             rng.randint(0, NUM_CLASSES, size=(B, N)))
+    results = []
+    for n_dev in (8, 1):
+        tx, _ = Adam(1e-2)
+        trainer = Trainer(model, CrossEntropyLoss(), tx,
+                          mesh=pmesh.make_mesh(n_dev), seed=0)
+        state = trainer.init_state(np.zeros((1, N, C_IN), np.float32))
+        inputs, targets = pmesh.shard_batch(batch, trainer.mesh)
+
+        @jax.jit
+        def loss_and_grads(state, inputs, targets, rng):
+            def loss_fn(params):
+                variables = {"params": params,
+                             "batch_stats": state.batch_stats}
+                outputs, _ = trainer.model.apply(
+                    variables, inputs, train=True, rngs=trainer._rngs(rng),
+                    mutable=["batch_stats"])
+                return trainer.criterion(outputs, targets)
+
+            return jax.value_and_grad(loss_fn)(state.params)
+
+        loss, grads = loss_and_grads(state, inputs, targets,
+                                     jax.random.PRNGKey(7))
+        results.append((float(loss), jax.device_get(grads)))
+    (loss8, g8), (loss1, g1) = results
+    assert np.isclose(loss8, loss1, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(g8), jax.tree.leaves(g1)):
+        a, b = np.asarray(a), np.asarray(b)
+        # fp32 psum reduction-order noise scales with the grad magnitude
+        # (measured ~2e-4 of max|g| on the 8-way CPU mesh)
+        tol = 1e-3 * max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a, b, atol=tol)
+
+
+def test_device_subset_mesh():
+    """--devices '1,3-5' style subset selection builds the mesh over exactly
+    those devices (reference: utils/device.py:6-21)."""
+    from pvcnn_tpu.utils.device import parse_device_spec, select_devices
+
+    assert parse_device_spec("0,2-4") == [0, 2, 3, 4]
+    assert parse_device_spec("cpu") == []
+    assert parse_device_spec("tpu1,gpu3") == [1, 3]
+    devs = select_devices("1,3-5")
+    assert devs == [jax.devices()[i] for i in (1, 3, 4, 5)]
+    mesh = pmesh.make_mesh(devices=devs)
+    assert mesh.devices.size == 4
+    x = np.arange(4 * 2, dtype=np.float32).reshape(4, 2)
+    sx = pmesh.shard_batch(x, mesh)
+    assert sx.sharding.device_set == set(devs)
+    with pytest.raises(ValueError):
+        select_devices("0,99")
+
+
+@pytest.mark.slow
 def test_multichip_mesh_sharding():
     assert jax.device_count() == 8, "conftest must provide 8 virtual devices"
     from __graft_entry__ import dryrun_multichip
@@ -104,6 +219,7 @@ def test_batch_is_actually_sharded():
     assert shard_shapes == {(1, 4)}
 
 
+@pytest.mark.slow
 def test_graft_entry_single():
     from __graft_entry__ import entry
 
@@ -112,6 +228,7 @@ def test_graft_entry_single():
     assert out.shape == (args[0].shape[0], args[0].shape[1], 50)
 
 
+@pytest.mark.slow
 def test_tensor_parallel_partitioning():
     """2-D mesh: wide kernels sharded over `model`, step still runs."""
     mesh = pmesh.make_mesh(8, model_axis=2)

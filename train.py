@@ -22,15 +22,15 @@ def prepare():
     parser = argparse.ArgumentParser()
     parser.add_argument("configs", nargs="+")
     parser.add_argument("--devices", default=None,
-                        help="'cpu' forces the CPU backend; otherwise JAX uses "
-                             "every visible accelerator (reference used "
+                        help="'cpu' forces the CPU backend; '0,1-3' restricts "
+                             "the mesh to those accelerator indices; default "
+                             "uses every visible device (reference used "
                              "CUDA_VISIBLE_DEVICES, utils/device.py:6-21)")
     parser.add_argument("--evaluate", default=False, action="store_true")
     args, opts = parser.parse_known_args()
-    if args.devices == "cpu":
-        import jax
+    from pvcnn_tpu.utils.device import select_devices
 
-        jax.config.update("jax_platforms", "cpu")
+    configs.devices = select_devices(args.devices)
 
     print(f"==> loading configs from {args.configs}")
     configs.update_from_modules(*args.configs)
@@ -125,7 +125,11 @@ def main():
     if configs.train.get("scheduler") is not None:
         scheduler = configs.train.scheduler().bind(base_lr)
 
-    trainer = Trainer(model, criterion, tx, seed=seed,
+    from pvcnn_tpu.parallel import mesh as pmesh
+
+    mesh = (pmesh.make_mesh(devices=configs.devices)
+            if configs.get("devices") else None)
+    trainer = Trainer(model, criterion, tx, mesh=mesh, seed=seed,
                       has_sample_rng=isinstance(model, FrustumNet))
     train_split = "train" if "train" in dataset else list(dataset)[0]
     state = trainer.init_state(build_example_inputs(dataset[train_split]))
@@ -137,11 +141,8 @@ def main():
         for m in configs.train.metrics:
             best_metrics[m] = meters.get(m + "_best", best_metrics[m])
 
-    try:
-        from torch.utils.tensorboard import SummaryWriter
-        writer = SummaryWriter(configs.train.save_path)
-    except Exception:
-        writer = None
+    from pvcnn_tpu.utils.logging import ScalarWriter
+    writer = ScalarWriter(configs.train.save_path)
 
     from pvcnn_tpu.utils.profiler import ThroughputMeter
     throughput = ThroughputMeter()
