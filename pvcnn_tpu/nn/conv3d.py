@@ -61,7 +61,16 @@ def _conv3d_bwd(res, g):
     # a plain XLA conv (lowers well, no relayout loop)
     kt = jnp.flip(kernel, axis=(0, 1, 2)).swapaxes(3, 4)
     dx = _conv(g, kt).astype(x.dtype)
-    # weight grad: k^3 shifted-slice contractions in channel-last layout
+    # weight grad: single-read Pallas offset-window kernel when it fits
+    # (the XLA form below re-reads x AND g from HBM once per kernel tap —
+    # 27x the traffic, ~17 ms/step of the headline profile); fall back to
+    # k^3 shifted-slice contractions in channel-last layout
+    if os.environ.get("PVCNN_TPU_XLA_CONV_WGRAD_ONLY") != "1":
+        from pvcnn_tpu.ops.pallas.conv_wgrad import conv3d_wgrad
+
+        dw = conv3d_wgrad(x, g, k)
+        if dw is not None:
+            return dx, dw.astype(kernel.dtype)
     b, d, h, w, ci = x.shape
     co = g.shape[-1]
     xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (p, p), (0, 0)))
@@ -93,6 +102,11 @@ class Conv3dSame(nn.Module):
     @nn.compact
     def __call__(self, x):
         k = int(self.kernel_size)
+        # even k would make XLA 'SAME' (pad left k//2-?, right k//2) disagree
+        # with the custom wgrad's symmetric k//2 padding AND with the reference
+        # (torch pads k//2 both sides -> output D+1); only odd k is defined
+        assert k % 2 == 1, (
+            f"Conv3dSame requires an odd kernel_size, got {k}")
         ci = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (k, k, k, ci, self.features), jnp.float32)

@@ -27,7 +27,15 @@ def huber_loss(error: jnp.ndarray, delta: float):
 
 
 def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray, axis: int = -1):
-    """Mean softmax cross entropy with integer labels (torch F.cross_entropy)."""
+    """Mean softmax cross entropy with integer labels (torch F.cross_entropy).
+
+    The label pick is a one-hot multiply+reduce, NOT take_along_axis: XLA:TPU
+    lowers the per-row gather to a serialized loop (~1.6 ms/step of the
+    headline profile for a 13 MB read); the masked reduce fuses into the
+    log_softmax pass."""
     logp = jax.nn.log_softmax(logits, axis=axis)
-    nll = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=axis)
+    classes = logp.shape[axis]
+    onehot = jax.nn.one_hot(labels.astype(jnp.int32), classes,
+                            dtype=logp.dtype, axis=axis)
+    nll = -jnp.sum(logp * onehot, axis=axis)
     return jnp.mean(nll)
