@@ -1,28 +1,30 @@
-"""Conv3D (stride 1, SAME) with a custom backward for the voxel branch.
+"""Conv3D (stride 1, SAME) for the voxel branch, NDHWC.
 
-XLA's autodiff of `lax.conv_general_dilated` computes the weight gradient
-through a channels-first relayout of the activation grid that lowers to a
-per-channel dynamic-update-slice LOOP at PVCNN's narrow widths (~3.6 ms/step
-of the headline profile for ONE C=16 R=32 layer — see docs/PERFORMANCE.md).
-This module keeps the forward and the input gradient as XLA convolutions
-(both lower well) but computes the weight gradient directly as k^3
-shifted-slice contractions over the channel-last layout, which needs no
-relayout:
+Defaults to XLA's native convolution autodiff. Two custom weight-grad
+backwards exist behind PVCNN_TPU_CUSTOM_CONV_WGRAD=1 (a Pallas single-read
+offset-window kernel, ops/pallas/conv_wgrad.py, with a k^3 shifted-slice
+contraction fallback) — both were built against a round-1 profile that
+attributed ~3.6 ms/step to an XLA per-channel relayout loop in the wgrad,
+and both beat that loop in ISOLATED timings. In-step A/B on v5e at the
+current HEAD says otherwise (always re-measure in the full step):
 
-    dW[kx,ky,kz] = sum_{b,xyz} X[b, x+kx-p, y+ky-p, z+kz-p] * dY[b, xyz]
+    headline bf16 B=64:  XLA autodiff 3.02 M pts/s  vs custom 2.53 M
+    fp32 recipe  B=32:   XLA autodiff 1.82 M pts/s  vs custom 1.40 M
 
-Isolated, this form matches XLA's wgrad (3.09 vs 3.01 ms at B=64 R=32 C=16);
-in-step it avoids the transpose loop. Param structure/naming matches
-flax.linen.Conv ('kernel' [k,k,k,in,out], 'bias' [out]) so checkpoint-import
-mappings are unchanged (modules are instantiated with name="Conv_i").
+With the whole step fused, XLA overlaps its wgrad relayout with the
+scatter/gather ops, while the custom VJP's pad + reshape prologue
+materializes new [B,34,34,34,C] tensors that nothing else amortizes.
+The custom path stays available for future shapes where the balance flips.
+
+Param structure/naming matches flax.linen.Conv ('kernel' [k,k,k,in,out],
+'bias' [out]) so checkpoint-import mappings are unchanged (modules are
+instantiated with name="Conv_i").
 
 Reference semantics: modules/pvconv.py:20-30 (Conv3d(k, padding=k//2)).
-Disable the custom backward with PVCNN_TPU_XLA_CONV_WGRAD=1.
 """
 
 from __future__ import annotations
 
-import functools
 import os
 
 import flax.linen as nn
@@ -61,10 +63,8 @@ def _conv3d_bwd(res, g):
     # a plain XLA conv (lowers well, no relayout loop)
     kt = jnp.flip(kernel, axis=(0, 1, 2)).swapaxes(3, 4)
     dx = _conv(g, kt).astype(x.dtype)
-    # weight grad: single-read Pallas offset-window kernel when it fits
-    # (the XLA form below re-reads x AND g from HBM once per kernel tap —
-    # 27x the traffic, ~17 ms/step of the headline profile); fall back to
-    # k^3 shifted-slice contractions in channel-last layout
+    # weight grad: single-read Pallas offset-window kernel when it fits,
+    # else k^3 shifted-slice contractions in channel-last layout
     if os.environ.get("PVCNN_TPU_XLA_CONV_WGRAD_ONLY") != "1":
         from pvcnn_tpu.ops.pallas.conv_wgrad import conv3d_wgrad
 
@@ -93,7 +93,7 @@ conv3d_same.defvjp(_conv3d_fwd, _conv3d_bwd)
 
 class Conv3dSame(nn.Module):
     """Drop-in for flax nn.Conv(features, (k,k,k), padding=k//2) on NDHWC
-    voxel grids, with the custom weight-grad backward above."""
+    voxel grids. XLA autodiff by default; custom wgrad backward opt-in."""
 
     features: int
     kernel_size: int = 3
@@ -115,8 +115,8 @@ class Conv3dSame(nn.Module):
         dt = self.dtype or x.dtype
         xd = x.astype(dt)
         kd = kernel.astype(dt)
-        if os.environ.get("PVCNN_TPU_XLA_CONV_WGRAD") == "1":
-            y = _conv(xd, kd)
-        else:
+        if os.environ.get("PVCNN_TPU_CUSTOM_CONV_WGRAD") == "1":
             y = conv3d_same(xd, kd)
+        else:
+            y = _conv(xd, kd)
         return y + bias.astype(y.dtype)
