@@ -12,12 +12,12 @@ from pvcnn_tpu.ops.neighbors import ball_query, grouping
 from pvcnn_tpu.ops.interpolate import nearest_neighbor_interpolate, three_nn
 from pvcnn_tpu.ops.sampling import (furthest_point_sample,
                                     furthest_point_sample_indices, gather,
-                                    logits_mask)
+                                    logits_mask, logits_mask_indices)
 from pvcnn_tpu.ops.losses import cross_entropy, huber_loss, kl_loss
 
 __all__ = [
     "avg_voxelize", "normalize_coords", "trilinear_devoxelize", "ball_query",
     "grouping", "nearest_neighbor_interpolate", "three_nn", "furthest_point_sample",
-    "furthest_point_sample_indices", "gather", "logits_mask", "cross_entropy",
+    "furthest_point_sample_indices", "gather", "logits_mask", "logits_mask_indices", "cross_entropy",
     "huber_loss", "kl_loss",
 ]

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["furthest_point_sample", "furthest_point_sample_indices", "gather",
-           "logits_mask"]
+           "logits_mask", "logits_mask_indices"]
 
 
 def _fps_single(coords: jnp.ndarray, num_samples: int):
@@ -96,16 +96,31 @@ def logits_mask(coords: jnp.ndarray, logits: jnp.ndarray, num_points_per_object:
         num_candidates, 1
     ).astype(coords.dtype)[:, None]                               # [B, 3]
 
-    # random permutation of candidate indices, candidates first:
-    # sort key = random uniform for candidates, +1 shift for non-candidates
-    u = jax.random.uniform(rng, (b, n))
-    key = jnp.where(mask, u, u + 2.0)
-    order = jnp.argsort(key, axis=-1).astype(jnp.int32)           # [B, N]
-    cnt = jnp.maximum(num_candidates, 1).astype(jnp.int32)        # avoid mod-by-zero
-    j = jax.lax.broadcasted_iota(jnp.int32, (b, m), 1)
-    selected_indices = jnp.take_along_axis(order, j % cnt[:, None], axis=1)  # [B, M]
-
+    selected_indices = logits_mask_indices(mask, m, rng)
     selected_coords = gather(
         masked_coords - masked_coords_mean[:, None, :], selected_indices
     )
     return selected_coords, masked_coords_mean, mask
+
+
+def logits_mask_indices(mask: jnp.ndarray, m: int, rng: jax.Array):
+    """The index-selection core of `logits_mask`: [B, N] bool -> [B, M] int32.
+
+    Cyclic walk over a random permutation of the candidate indices. This is
+    distribution-equivalent to the reference's host sampler
+    (modules/functional/sampling.py:68-82): when count >= M the first M
+    permutation slots are a uniform M-subset without replacement; when
+    0 < count < M, candidate at permutation position p is selected
+    floor(M/count) + (p < M mod count) times — the same
+    {floor, floor+1}-multiset law as the reference's repeat + random-remainder
+    + shuffle (positions are uniform, so each candidate draws the extra copy
+    with probability (M mod count)/count). Verified distributionally in
+    tests/test_ops.py::TestLogitsMaskDistribution.
+    """
+    b, n = mask.shape
+    u = jax.random.uniform(rng, (b, n))
+    key = jnp.where(mask, u, u + 2.0)  # candidates sort first
+    order = jnp.argsort(key, axis=-1).astype(jnp.int32)           # [B, N]
+    cnt = jnp.maximum(jnp.sum(mask, axis=-1), 1).astype(jnp.int32)
+    j = jax.lax.broadcasted_iota(jnp.int32, (b, m), 1)
+    return jnp.take_along_axis(order, j % cnt[:, None], axis=1)   # [B, M]

@@ -260,6 +260,79 @@ class TestLogitsMask:
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+class TestLogitsMaskDistribution:
+    """VERDICT item 8: the on-device sampler must match the reference host
+    sampler (modules/functional/sampling.py:68-82) IN DISTRIBUTION — per-point
+    marginal selection frequencies and the count<M repeat structure."""
+
+    N = 32
+
+    @staticmethod
+    def _reference_draw(cand, m, rs):
+        """Reference loop body -> per-point selection-count vector [N]."""
+        counts = np.zeros(TestLogitsMaskDistribution.N, dtype=np.int64)
+        k = len(cand)
+        if k >= m:
+            sel = cand[rs.choice(k, m, replace=False)]
+        elif k > 0:
+            choices = np.concatenate([
+                np.arange(k).repeat(m // k),
+                rs.choice(k, m % k, replace=False)])
+            rs.shuffle(choices)  # order is irrelevant for count statistics
+            sel = cand[choices]
+        else:
+            sel = np.zeros(m, dtype=np.int64)
+        np.add.at(counts, sel, 1)
+        return counts
+
+    def _ours_counts(self, mask, m, draws):
+        keys = jax.random.split(jax.random.PRNGKey(42), draws)
+        sel = jax.vmap(
+            lambda k: ops.logits_mask_indices(jnp.asarray(mask[None]), m, k)[0]
+        )(keys)                                            # [draws, M]
+        counts = np.zeros((draws, self.N), dtype=np.int64)
+        np.add.at(counts, (np.arange(draws)[:, None], np.asarray(sel)), 1)
+        return counts
+
+    def _check_regime(self, cand, m, draws=4000, tv_tol=0.03):
+        mask = np.zeros(self.N, dtype=bool)
+        mask[cand] = True
+        ours = self._ours_counts(mask, m, draws)
+        rs = np.random.RandomState(7)
+        ref = np.stack([self._reference_draw(cand, m, rs)
+                        for _ in range(draws)])
+
+        # non-candidates are never selected
+        assert ours[:, ~mask].sum() == 0 and ref[:, ~mask].sum() == 0
+        # exact multiset law per draw: counts in {floor(M/k), floor+1},
+        # summing to M (k >= M degenerates to {0, 1})
+        k = len(cand)
+        lo = m // k
+        for counts in (ours, ref):
+            sel_counts = counts[:, mask]
+            assert set(np.unique(sel_counts)) <= {lo, lo + 1}
+            np.testing.assert_array_equal(sel_counts.sum(-1), m)
+        # marginal frequencies: total-variation distance between the two
+        # per-point expected-count profiles (normalized to sum 1)
+        p = ours[:, mask].mean(0) / m
+        q = ref[:, mask].mean(0) / m
+        tv = 0.5 * np.abs(p - q).sum()
+        assert tv < tv_tol, (tv, p, q)
+        # every candidate's marginal is close to the uniform M/k expectation
+        np.testing.assert_allclose(ours[:, mask].mean(0), m / k, rtol=0.1)
+        np.testing.assert_allclose(ref[:, mask].mean(0), m / k, rtol=0.1)
+
+    def test_subset_regime(self, rng):
+        # count > M: uniform M-subset without replacement on both sides
+        cand = np.sort(rng.choice(self.N, 24, replace=False))
+        self._check_regime(cand, m=8)
+
+    def test_repeat_regime(self, rng):
+        # 0 < count < M: floor(M/count) copies each + random distinct remainder
+        cand = np.sort(rng.choice(self.N, 5, replace=False))
+        self._check_regime(cand, m=8)
+
+
 class TestLosses:
     def test_huber(self, rng):
         err = rng.randn(40).astype(np.float32) * 3
