@@ -398,9 +398,41 @@ def _box_est_pointnet_mapping():
     return entries + cls_entries
 
 
+def _instance_seg_pointnet2_mapping():
+    """segmentation/pointnetpp.py:9-57: MSG SA + FP + [128, 0.3, 2] classifier."""
+    from pvcnn_tpu.models.kitti.frustum.segmentation import (
+        InstanceSegmentationPointNet2 as M)
+
+    entries, counts = sa_layers_entries(M.sa_blocks, "sa_layers", {})
+    fp_entries, counts = fp_layers_entries(M.fp_blocks, "fp_layers", counts)
+    cls_entries, _ = mlp_classifier_entries([128, 0.3, -1], "classifier",
+                                            dim=2, counts=counts)
+    return entries + fp_entries + cls_entries
+
+
+def _box_est_pointnet2_mapping():
+    """box_estimation/pointnetpp.py:9-55: SA stack named `features` + dim-1
+    classifier head."""
+    from pvcnn_tpu.models.kitti.frustum.box_estimation import (
+        BoxEstimationPointNet2 as M)
+
+    entries, counts = sa_layers_entries(M.sa_blocks, "features", {})
+    cls_entries, _ = mlp_classifier_entries([512, 256, -1], "classifier",
+                                            dim=1, counts=counts)
+    return entries + cls_entries
+
+
 def frustum_mapping(variant: str = "pvcnne"):
     """models/kitti/frustum/frustum_net.py: inst_seg_net + center_reg_net +
-    box_est_net sub-trees. variant in {'pointnet', 'pvcnne'}."""
+    box_est_net sub-trees. variant in {'pointnet', 'pointnet2', 'pvcnne'}."""
+    if variant == "pointnet2":
+        entries = prefixed(_instance_seg_pointnet2_mapping(), "inst_seg_net.",
+                           "InstanceSegmentationPointNet2_0/")
+        entries += prefixed(_center_reg_mapping(), "center_reg_net.",
+                            "CenterRegressionNet_0/")
+        entries += prefixed(_box_est_pointnet2_mapping(), "box_est_net.",
+                            "BoxEstimationPointNet2_0/")
+        return entries
     seg_variant = "pvcnn" if variant == "pvcnne" else "pointnet"
     entries = prefixed(_instance_seg_mapping(seg_variant), "inst_seg_net.",
                        "InstanceSegmentationNet_0/")

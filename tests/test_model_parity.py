@@ -218,6 +218,17 @@ FRUSTUM_CASES = {
             size_templates=tuple(map(tuple, SIZE_TEMPLATES)),
             width_multiplier=0.5),
         mapping=lambda: ci.frustum_mapping("pointnet")),
+    "frustum_pointnet2": dict(
+        twin=lambda: tw.TwinFrustumNet(
+            "pointnet2", num_classes=3, num_heading_angle_bins=12,
+            num_size_templates=8, num_points_per_object=N,
+            size_templates=SIZE_TEMPLATES, width_multiplier=0.5),
+        flax=lambda: kf.FrustumPointNet2(
+            num_classes=3, num_heading_angle_bins=12, num_size_templates=8,
+            num_points_per_object=N,
+            size_templates=tuple(map(tuple, SIZE_TEMPLATES)),
+            width_multiplier=0.5),
+        mapping=lambda: ci.frustum_mapping("pointnet2")),
 }
 
 

@@ -704,6 +704,83 @@ class TwinInstanceSegmentation(nn.Module):
         return self.classifier(torch.cat([one_hot, pf, cf], dim=1))
 
 
+class TwinInstanceSegmentationPointNet2(nn.Module):
+    """segmentation/pointnetpp.py:9-57 (MSG SA + FP, one-hot before first FP)."""
+
+    sa_blocks = (
+        (None, (128, [0.2, 0.4, 0.8], [32, 64, 128],
+                [(32, 32, 64), (64, 64, 128), (64, 96, 128)])),
+        (None, (32, [0.4, 0.8, 1.6], [64, 64, 128],
+                [(64, 64, 128), (128, 128, 256), (128, 128, 256)])),
+        (None, (None, None, None, (128, 256, 1024))),
+    )
+    fp_blocks = (((128, 128), None), ((128, 128), None), ((128, 128), None))
+
+    def __init__(self, num_classes=3, extra_feature_channels=1,
+                 width_multiplier=1):
+        super().__init__()
+        self.in_channels = extra_feature_channels + 3
+        sa_layers, sa_in, channels_sa, _ = twin_sa_components(
+            self.sa_blocks, extra_feature_channels,
+            width_multiplier=width_multiplier)
+        self.sa_layers = nn.ModuleList(sa_layers)
+        sa_in[-1] += num_classes
+        fp_layers, channels_fp = twin_fp_modules(
+            self.fp_blocks, channels_sa, sa_in,
+            width_multiplier=width_multiplier)
+        self.fp_layers = nn.ModuleList(fp_layers)
+        layers, _ = twin_mlp_components(channels_fp, [128, 0.3, 2],
+                                        classifier=True, dim=2,
+                                        width_multiplier=width_multiplier)
+        self.classifier = nn.Sequential(*layers)
+
+    def forward(self, inputs):
+        features = inputs["features"]
+        one_hot = inputs["one_hot_vectors"]
+        coords, extra = features[:, :3, :], features[:, 3:, :]
+        coords_list, feats_list = [], []
+        for sa in self.sa_layers:
+            feats_list.append(extra)
+            coords_list.append(coords)
+            extra, coords = sa((extra, coords))
+        feats_list[0] = features
+        extra = torch.cat(
+            [extra, one_hot.unsqueeze(-1).repeat(1, 1, extra.shape[-1])],
+            dim=1)
+        for i, fp in enumerate(self.fp_layers):
+            extra, coords = fp((coords_list[-1 - i], coords, extra,
+                                feats_list[-1 - i]))
+        return self.classifier(extra)
+
+
+class TwinBoxEstimationPointNet2(nn.Module):
+    """box_estimation/pointnetpp.py:9-55 (SA stack named `features`)."""
+
+    sa_blocks = (
+        (None, (128, 0.2, 64, (64, 64, 128))),
+        (None, (32, 0.4, 64, (128, 128, 256))),
+        (None, (None, None, None, (256, 256, 512))),
+    )
+
+    def __init__(self, num_classes=3, num_heading_angle_bins=12,
+                 num_size_templates=8, width_multiplier=1):
+        super().__init__()
+        sa_layers, _, channels_sa, num_centers = twin_sa_components(
+            self.sa_blocks, 0, width_multiplier=width_multiplier)
+        self.features = nn.Sequential(*sa_layers)
+        head = 3 + num_heading_angle_bins * 2 + num_size_templates * 4
+        layers, _ = twin_mlp_components(
+            channels_sa * num_centers + num_classes, [512, 256, head],
+            classifier=True, dim=1, width_multiplier=width_multiplier)
+        self.classifier = nn.Sequential(*layers)
+
+    def forward(self, inputs):
+        h, _ = self.features((None, inputs["coords"]))
+        h = h.reshape(h.shape[0], -1)
+        return self.classifier(torch.cat([h, inputs["one_hot_vectors"]],
+                                         dim=1))
+
+
 class TwinCenterRegressionNet(nn.Module):
     """center_regression_net.py:10-32."""
 
@@ -760,19 +837,28 @@ class TwinFrustumNet(nn.Module):
                  extra_feature_channels=1, width_multiplier=1,
                  voxel_resolution_multiplier=1):
         super().__init__()
-        seg_variant = "pvcnn" if variant == "pvcnne" else "pointnet"
         self.nh, self.ns = num_heading_angle_bins, num_size_templates
         self.m = num_points_per_object
-        self.inst_seg_net = TwinInstanceSegmentation(
-            seg_variant, num_classes=num_classes,
-            extra_feature_channels=extra_feature_channels,
-            width_multiplier=width_multiplier,
-            voxel_resolution_multiplier=voxel_resolution_multiplier)
+        if variant == "pointnet2":
+            self.inst_seg_net = TwinInstanceSegmentationPointNet2(
+                num_classes=num_classes,
+                extra_feature_channels=extra_feature_channels,
+                width_multiplier=width_multiplier)
+            self.box_est_net = TwinBoxEstimationPointNet2(
+                num_classes=num_classes, num_heading_angle_bins=self.nh,
+                num_size_templates=self.ns, width_multiplier=width_multiplier)
+        else:
+            seg_variant = "pvcnn" if variant == "pvcnne" else "pointnet"
+            self.inst_seg_net = TwinInstanceSegmentation(
+                seg_variant, num_classes=num_classes,
+                extra_feature_channels=extra_feature_channels,
+                width_multiplier=width_multiplier,
+                voxel_resolution_multiplier=voxel_resolution_multiplier)
+            self.box_est_net = TwinBoxEstimationPointNet(
+                num_classes=num_classes, num_heading_angle_bins=self.nh,
+                num_size_templates=self.ns, width_multiplier=width_multiplier)
         self.center_reg_net = TwinCenterRegressionNet(
             num_classes=num_classes, width_multiplier=width_multiplier)
-        self.box_est_net = TwinBoxEstimationPointNet(
-            num_classes=num_classes, num_heading_angle_bins=self.nh,
-            num_size_templates=self.ns, width_multiplier=width_multiplier)
         self.register_buffer(
             "size_templates",
             torch.as_tensor(size_templates, dtype=torch.float32).view(
