@@ -34,6 +34,7 @@ shift-combine drops it). Gradients flow only into the grid, not the coordinates.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -165,14 +166,24 @@ def _devox_fwd(grid, norm_coords, resolution):
         shifts = offs[:pack]                # within-group corner offsets
         groups = 8 // pack
         padded = jnp.pad(flat, ((0, 0), (0, shifts[-1]), (0, 0)))
-        packed = jnp.stack([
-            jax.lax.dynamic_slice_in_dim(padded, o, r3, axis=1)
-            for o in shifts
-        ], axis=2)
+        if os.environ.get("PVCNN_TPU_DEVOX_PACK_BUILD", "concat") == "stack":
+            packed = jnp.stack([
+                jax.lax.dynamic_slice_in_dim(padded, o, r3, axis=1)
+                for o in shifts
+            ], axis=2).reshape(b, r3, pack * c)
+        else:
+            # concatenate on channels: same element order as stack+reshape,
+            # but XLA emits the table directly in the gather's preferred
+            # row-contiguous layout — the stack form materialized a second,
+            # relayouted copy of the whole table (512 MB / 1.6 ms at the
+            # headline R=32 shape, profile copy.291)
+            packed = jnp.concatenate([
+                jax.lax.dynamic_slice_in_dim(padded, o, r3, axis=1)
+                for o in shifts
+            ], axis=-1)
         # the barrier keeps XLA from fusing the shifts into the gather (which
         # would silently rebuild the 8N-row gather this path exists to avoid)
-        packed = jax.lax.optimization_barrier(
-            packed.reshape(b, r3, pack * c))
+        packed = jax.lax.optimization_barrier(packed)
         bases = idx8[..., ::pack]           # [B, N, groups] group base corners
         gidx = (bases.reshape(b, n * groups)
                 + (jnp.arange(b, dtype=jnp.int32) * r3)[:, None]).reshape(-1)
@@ -314,8 +325,10 @@ def _devox_bwd(resolution, residuals, g):
     # docs/PERFORMANCE.md). Only for LARGE grids: the kernel's win over the
     # unsorted one scales with the bin count, while its fixed overhead (a
     # dispatch-bound permutation row-gather) doesn't — at R<=16 the gather
-    # costs more than the matmul saving (profiled on v5e).
-    if on_tpu and c % 8 == 0 and c <= 64 and r3 % 128 == 0 and r3 >= 16384:
+    # costs more than the matmul saving (profiled on v5e; re-measured at the
+    # round-2 headline, see PVCNN_TPU_SORTED_MIN_BINS experiments).
+    min_bins = int(os.environ.get("PVCNN_TPU_SORTED_MIN_BINS", "16384"))
+    if on_tpu and c % 8 == 0 and c <= 64 and r3 % 128 == 0 and r3 >= min_bins:
         dflat = _sorted_pallas_scatter(g, w8, idx8, r3, offs, k, md)
         if dflat is not None:
             return dflat.reshape(b, r, r, r, c).astype(g.dtype), None
