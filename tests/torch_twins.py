@@ -37,18 +37,45 @@ def _cm(a):  # [B, N, C] numpy -> [B, C, N] torch
 
 
 def avg_voxelize(features, vox_coords, r):
-    """features [B,C,N], vox_coords [B,3,N] int -> grid [B,C,R,R,R]."""
-    grid = oracles.avg_voxelize(_cl(features),
-                                vox_coords.numpy().transpose(0, 2, 1), r)
-    return torch.from_numpy(grid.transpose(0, 4, 1, 2, 3).copy())
+    """features [B,C,N], vox_coords [B,3,N] int -> grid [B,C,R,R,R].
+
+    Same semantics as oracles.avg_voxelize (vox.cu:18-72) but expressed as
+    differentiable torch scatter_add, so twin models support autograd for the
+    full-model GRADIENT parity tests (the reference kernel likewise
+    backpropagates into features only)."""
+    b, c, n = features.shape
+    flat = (vox_coords[:, 0].long() * r * r + vox_coords[:, 1].long() * r
+            + vox_coords[:, 2].long())                       # [B, N]
+    cnt = torch.zeros((b, 1, r ** 3)).scatter_add_(
+        2, flat.unsqueeze(1), torch.ones((b, 1, n)))
+    out = features.new_zeros((b, c, r ** 3)).scatter_add_(
+        2, flat.unsqueeze(1).expand(-1, c, -1), features)
+    out = out / torch.clamp(cnt, min=1.0)
+    return out.view(b, c, r, r, r)
 
 
 def trilinear_devoxelize(grid, norm_coords):
-    """grid [B,C,R,R,R], norm_coords [B,3,N] -> [B,C,N]."""
-    out = oracles.trilinear_devoxelize(
-        grid.detach().numpy().transpose(0, 2, 3, 4, 1),
-        norm_coords.detach().numpy().transpose(0, 2, 1))
-    return _cm(out)
+    """grid [B,C,R,R,R], norm_coords [B,3,N] -> [B,C,N].
+
+    Differentiable-in-grid torch form of oracles.trilinear_devoxelize
+    (trilinear_devox.cu:21-105): 8 corner gathers with trilinear weights;
+    collapsed corners (frac == 0) get weight 0 exactly like the CUDA index
+    trick. No gradient flows into norm_coords (matches the reference)."""
+    b, c = grid.shape[0], grid.shape[1]
+    r = grid.shape[2]
+    coords = norm_coords.detach()
+    lo = torch.floor(coords)
+    frac = coords - lo
+    hi = lo + (frac > 0).to(lo.dtype)
+    flat = grid.reshape(b, c, r * r * r)
+    out = grid.new_zeros((b, c, coords.shape[-1]))
+    for xs, wx in ((lo[:, 0], 1 - frac[:, 0]), (hi[:, 0], frac[:, 0])):
+        for ys, wy in ((lo[:, 1], 1 - frac[:, 1]), (hi[:, 1], frac[:, 1])):
+            for zs, wz in ((lo[:, 2], 1 - frac[:, 2]), (hi[:, 2], frac[:, 2])):
+                idx = (xs * r * r + ys * r + zs).long()      # [B, N]
+                w = (wx * wy * wz).unsqueeze(1)              # [B, 1, N]
+                out = out + w * gather(flat, idx)
+    return out
 
 
 def furthest_point_sample(coords, m):
