@@ -25,6 +25,7 @@ metrics are unaffected by the bf16 headline setting.
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import time
 
@@ -36,6 +37,22 @@ NUM_POINTS = 2048
 WARMUP = 5
 ITERS = 30
 WINDOWS = 5
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache keyed to this repo: the tunneled
+    remote-compile service can degrade to 25+ min when queued, so a pre-warmed
+    cache makes the bench start-to-JSON time reliable."""
+    import jax
+
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax / read-only checkout: compile uncached
 
 
 def _measure(batch_size: int, dtype: str, windows: int = WINDOWS,
@@ -90,6 +107,7 @@ def _measure(batch_size: int, dtype: str, windows: int = WINDOWS,
 
 
 def main():
+    _enable_compile_cache()
     value, spread, rates = _measure(batch_size=64, dtype="bfloat16")
     fp32_value, fp32_spread, _ = _measure(batch_size=32, dtype="float32",
                                           windows=3)
