@@ -152,6 +152,36 @@ def _fwd_pack(n: int, r3: int, c: int, dtype) -> int:
     return 1
 
 
+def _sorted_gather_fwd(grid, idx8, w8, r3):
+    """Forward via the SORTED corner-packed Pallas gather
+    (ops/pallas/sorted_gather.py): sort rows by base corner bin, extract all
+    8 corner values per row with one in-VMEM one-hot matmul per bin tile, and
+    un-permute. Replaces the [B, R^3, 8C] shifted-table build (a ~6 ms HBM
+    round-trip at the R=32 headline shape) with ~2 sorts + 2 dispatch-bound
+    row gathers + a sub-ms kernel. None if the kernel's plan doesn't fit."""
+    from pvcnn_tpu.ops.pallas.sorted_gather import (sorted_devox_gather,
+                                                    sorted_gather_plan)
+    from pvcnn_tpu.ops.pallas.sorted_scatter import sort_rows
+
+    b, n, _ = idx8.shape
+    c = grid.shape[-1]
+    r = grid.shape[1]
+    offs = _corner_offsets(r)
+    plan = sorted_gather_plan(r3, n, c, offs[-1], grid.dtype, b)
+    if plan is None:
+        return None
+    base = idx8[..., 0]
+    idx_s, perm, starts = sort_rows(base, r3, plan[0])
+    w_s = jnp.take_along_axis(w8, perm[..., None], axis=1)
+    out_s = sorted_devox_gather(
+        grid.reshape(b, r3, c), idx_s,
+        jnp.transpose(w_s, (0, 2, 1)).astype(jnp.float32), starts, r3, offs)
+    arange = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    _, inv = jax.lax.sort_key_val(perm, arange, dimension=1)
+    out = jnp.take_along_axis(out_s, inv[..., None], axis=1)
+    return out.astype(grid.dtype)
+
+
 def _devox_fwd(grid, norm_coords, resolution):
     r = int(resolution)
     b, _, _, _, c = grid.shape
@@ -159,6 +189,15 @@ def _devox_fwd(grid, norm_coords, resolution):
     n = norm_coords.shape[1]
     r3 = r * r * r
     idx8, w8 = _corners(norm_coords, r)
+    interpret = os.environ.get("PVCNN_TPU_PALLAS_INTERPRET") == "1"
+    on_tpu = interpret or jax.default_backend() == "tpu"
+    sorted_mode = os.environ.get("PVCNN_TPU_DEVOX_FWD_SORTED", "auto")
+    min_bins = int(os.environ.get("PVCNN_TPU_SORTED_MIN_BINS", "16384"))
+    if sorted_mode != "0" and on_tpu and c % 8 == 0 and r3 % 128 == 0 and (
+            sorted_mode == "1" or r3 >= min_bins):
+        out = _sorted_gather_fwd(grid, idx8, w8, r3)
+        if out is not None:
+            return out, (idx8, w8)
     pack = _fwd_pack(n, r3, c, grid.dtype)
     if pack > 1:
         flat = grid.reshape(b, r3, c)

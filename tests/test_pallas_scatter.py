@@ -287,3 +287,43 @@ def test_devoxelize_grad_through_pallas_path(rng):
         nflat[i] = (fp - fm) / (2 * eps)
     np.testing.assert_allclose(ana.reshape(-1)[sel], nflat[sel], rtol=2e-2,
                                atol=2e-2)
+
+
+@pytest.mark.parametrize("r,c,n", [(8, 16, 256), (16, 32, 512)])
+def test_devox_fwd_sorted_gather(rng, monkeypatch, r, c, n):
+    """The SORTED corner-packed forward gather (ops/pallas/sorted_gather.py)
+    must be oracle-exact in fp32, including collapsed boundary corners."""
+    import oracles
+    from pvcnn_tpu.ops import devoxelize as dv
+    monkeypatch.setenv("PVCNN_TPU_DEVOX_FWD_SORTED", "1")
+    b = 2
+    grid = rng.randn(b, r, r, r, c).astype(np.float32)
+    nc = rng.uniform(0, r - 1, size=(b, n, 3)).astype(np.float32)
+    nc[0, 0] = [r - 1, r - 1, r - 1]       # exact boundary: collapsed corners
+    nc[0, 1] = [0, 0, 0]
+    nc[0, 2] = [1.0, 2.0, 3.0]             # integral interior point
+    got, _ = dv._devox_fwd(jnp.asarray(grid), jnp.asarray(nc), r)
+    want = oracles.trilinear_devoxelize(grid, nc)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_devox_fwd_sorted_gather_multichunk_and_skew(rng, monkeypatch):
+    """R=32 fp32 plans to n_chunks > 1 (exercises the chunk-B spill window),
+    with every point in one voxel (single tile's window spans all row
+    blocks)."""
+    import oracles
+    from pvcnn_tpu.ops import devoxelize as dv
+    from pvcnn_tpu.ops.pallas.sorted_gather import sorted_gather_plan
+    monkeypatch.setenv("PVCNN_TPU_DEVOX_FWD_SORTED", "1")
+    b, n, c, r = 1, 256, 16, 32
+    r3 = r * r * r
+    plan = sorted_gather_plan(r3, n, c, dv._corner_offsets(r)[-1],
+                              jnp.float32, b)
+    assert plan is not None and r3 // (plan[0] * plan[1]) > 1, plan
+    grid = rng.randn(b, r, r, r, c).astype(np.float32)
+    nc = rng.uniform(0, r - 1, size=(b, n, 3)).astype(np.float32)
+    nc[0, :64] = [7.25, 3.5, 9.75]         # skew: one voxel, many rows
+    nc[0, 64] = [r - 1, r - 1, r - 1]
+    got, _ = dv._devox_fwd(jnp.asarray(grid), jnp.asarray(nc), r)
+    want = oracles.trilinear_devoxelize(grid, nc)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
