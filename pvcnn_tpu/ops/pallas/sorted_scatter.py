@@ -162,9 +162,12 @@ def sort_rows(base_idx: jnp.ndarray, num_bins: int, tile_v: int):
         jnp.broadcast_to(jnp.arange(rows, dtype=jnp.int32), (b, rows)),
         dimension=1)
     n_tiles = num_bins // tile_v
+    # starts[b, t] = #rows with bin < t*tile_v. searchsorted lowers to a
+    # per-batch while-loop of gathers on TPU (~1 ms/step in the headline
+    # profile); a broadcast compare + row reduce is one cheap fusion.
     bounds = jnp.arange(1, n_tiles + 1, dtype=jnp.int32) * tile_v
-    starts = jax.vmap(
-        lambda s: jnp.searchsorted(s, bounds).astype(jnp.int32))(idx_s)
+    starts = jnp.sum((idx_s[:, :, None] < bounds[None, None, :])
+                     .astype(jnp.int32), axis=1)
     starts = jnp.concatenate([jnp.zeros((b, 1), jnp.int32), starts], axis=1)
     return idx_s, perm, starts
 
