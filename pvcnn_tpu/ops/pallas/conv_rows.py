@@ -1,0 +1,364 @@
+"""Pallas TPU conv3d on FLAT voxel rows: [B, C, R^3], channels on sublanes.
+
+The voxel-branch Conv3D (reference modules/pvconv.py:20-30, stride-1 SAME,
+odd k) is the headline step's largest block (~11 ms/step of 42 at round-2
+head). XLA's NDHWC conv emitter picks a batch-on-lanes layout
+({0,4,3,2,1}: B=64 of 128 lanes, C=16 on sublanes) that (a) wastes half the
+vector lanes of EVERY elementwise/BN/reduce op touching the grid and
+(b) forces relayout copies around the Pallas scatter/gather custom calls,
+which natively produce/consume [B, C, R^3] rows-on-lanes.
+
+This kernel keeps the grid FLAT. With plane stride R^2 a multiple of 128
+(R >= 16, power of two), tap (kx, ky, kz) of the conv is a constant row
+offset q = kx*R^2 + ky*R + kz into the c0-zero-extended activation
+(c0 = p*(R^2+R+1)), and the flat-index wraparound at y/z edges is corrected
+by PERIODIC masks (period R^2, a lane multiple): tap dy=ky-p is invalid
+exactly where y(r) + dy leaves [0, R-1], with y(r) = (r >> log2 R) & (R-1)
+— all bitwise ops on an iota, static per chunk. x edges need no mask: the
+c0 zero extension covers whole out-of-range planes.
+
+Three contractions share the masked-window machinery:
+
+  * fwd    y[co, r]  = sum_o W_o @ mx_o[r]        (partial-kx form, below)
+  * dgrad  dx[ci, s] = fwd kernel applied to dy with W flipped in taps and
+           io-transposed. The SAME mask rule is correct: m_p(s) evaluated at
+           the native tap p equals the reflected mask at the shifted row
+           (both reduce to `y(s+dy) == wrap` tests; verified exact vs oracle).
+  * wgrad  dW_o      = sum_r mx_o[r] (x) dy[r]    (k^3-packed rows, one
+           [k^3*Ci, T] x [Co, T] lane-contraction dot per chunk)
+
+MXU shaping: at Ci=Co=16 a naive [Co, k^3*Ci] @ [k^3*Ci, T] dot idles 7/8 of
+the MXU rows (M=16). The fwd/dgrad kernels instead compute k partial outputs
+stacked on M (one per kx tap, M = k*Co, K = k^2*Ci) over a widened column
+span, then combine with k vreg-ALIGNED lane shifts (kx*R^2 is a 128-multiple)
+— 3x the M-utilization for (1 + (k-1)*R^2/chunk)x redundant columns.
+
+Numerics: f32 accumulation (HIGHEST precision for f32 inputs, like the other
+Pallas kernels); allclose vs the XLA conv oracle, not bitwise (tile order
+differs). Zero out-of-grid semantics match torch Conv3d(padding=k//2).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["conv3d_rows", "conv_rows_supported"]
+
+
+def _interpret() -> bool:
+    return os.environ.get("PVCNN_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _precision(dtype):
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
+def conv_rows_plan(b, r, ci, co, k, dtype):
+    """-> (tile, n_tiles, chunk, ci_pad, co_pad, c0) or None."""
+    if k % 2 == 0 or k < 3:
+        return None
+    itemsize = jnp.dtype(dtype).itemsize
+    if itemsize > 4:
+        return None
+    r2, r3 = r * r, r ** 3
+    if r2 % 128 or r & (r - 1):
+        return None                      # need lane-aligned plane stride
+    p = k // 2
+    c0 = p * (r2 + r + 1)
+    ci_pad = _round_up(max(ci, 8), 8)
+    co_pad = _round_up(max(co, 8), 8)
+
+    def vmem_use(t, ch):
+        span = ch + (k - 1) * r2
+        use = (4 * ci_pad * t            # x0/x1 double-buffered
+               + ci_pad * 2 * t          # xw scratch
+               + k * k * ci_pad * span   # pk9
+               + 2 * co_pad * t)         # out or g block (dbuf)
+        use *= itemsize
+        use += k * co_pad * span * 4     # P scratch (f32)
+        use += k ** 3 * ci_pad * max(co_pad, 128) * 4  # wgrad out block
+        return use
+
+    for t in (8192, 4096, 2048):
+        if t % r2 or t > r3 or r3 % t or t < 2 * c0:
+            continue
+        for ch in (8192, 4096, 2048, 1024, 512, 256):
+            if ch > t or t % ch or ch % r2:
+                continue
+            if vmem_use(t, ch) <= 13 * 1024 * 1024:
+                return t, r3 // t, ch, ci_pad, co_pad, c0
+    return None
+
+
+def conv_rows_supported(b, r, ci, co, k, dtype) -> bool:
+    if os.environ.get("PVCNN_TPU_CONV_ROWS", "auto") == "0":
+        return False
+    if not (_interpret() or jax.default_backend() == "tpu"):
+        return False
+    return conv_rows_plan(b, r, ci, co, k, dtype) is not None
+
+
+def _masks(k, r, span):
+    """[k, k] grid of (1, span) bool masks: m[ky][kz] is True where tap
+    (dy, dz) = (ky-p, kz-p) stays inside the y/z grid bounds for the output
+    row at column j (period R^2; span is a multiple-of-R^2 + aligned tail,
+    and chunk bases are R^2-multiples, so j-relative iota is exact)."""
+    p = k // 2
+    lr = r.bit_length() - 1
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
+    y = (jj >> lr) & (r - 1)
+    z = jj & (r - 1)
+    out = []
+    for ky in range(k):
+        row = []
+        dy = ky - p
+        for kz in range(k):
+            dz = kz - p
+            m = ((y + dy >= 0) & (y + dy <= r - 1)
+                 & (z + dz >= 0) & (z + dz <= r - 1))
+            row.append(m)
+        out.append(row)
+    return out
+
+
+def _fwd_kernel(k, r, tile, chunk, single, x0_ref, x1_ref, w_ref, out_ref,
+                xw, pk, pp):
+    """Partial-kx fwd/dgrad: pk [k^2*Ci, span] masked (ky,kz) windows,
+    P = W[k*Co, k^2*Ci] @ pk, out[:, j] = sum_kx P[kx-block][:, j + kx*R^2].
+
+    single=True (n_tiles == 1): the one x block already carries the whole
+    window incl. the 2*c0 halo tail — skip the second block and the xw
+    staging copy entirely (halves DMA traffic on R=16 grids)."""
+    r2 = r * r
+    span = chunk + (k - 1) * r2
+    ci_pad = x0_ref.shape[1]
+    co_pad = out_ref.shape[1]
+    if single:
+        xv = x0_ref[0]
+
+        def window(s0):
+            return jax.lax.slice(xv, (0, s0), (ci_pad, s0 + span))
+    else:
+        xw[:, pl.ds(0, tile)] = x0_ref[0]
+        xw[:, pl.ds(tile, tile)] = x1_ref[0]
+
+        def window(s0):
+            return xw[:, pl.ds(s0, span)]
+    masks = _masks(k, r, span)
+    w = w_ref[...]
+    zero = jnp.zeros((), x0_ref.dtype)
+    for c in range(tile // chunk):
+        base = c * chunk
+        for ky in range(k):
+            for kz in range(k):
+                sv = window(base + ky * r + kz)
+                pk[pl.ds((ky * k + kz) * ci_pad, ci_pad), :] = jnp.where(
+                    masks[ky][kz], sv, zero)
+        pp[...] = jax.lax.dot_general(
+            w, pk[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision(xw.dtype))
+        acc = jax.lax.slice(pp[...], (0, 0), (co_pad, chunk))
+        for kx in range(1, k):
+            acc = acc + jax.lax.slice(
+                pp[...], (kx * co_pad, kx * r2),
+                ((kx + 1) * co_pad, kx * r2 + chunk))
+        out_ref[0, :, pl.ds(base, chunk)] = acc.astype(out_ref.dtype)
+
+
+def _wgrad_kernel(k, r, tile, chunk, single, x0_ref, x1_ref, g_ref, out_ref,
+                  xw, pk):
+    """k^3-packed wgrad: dW[(ky,kz,kx), ci, co] += mx-window (x) g, one
+    lane-contraction dot per chunk into the VMEM-resident output."""
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+
+    @pl.when((bi == 0) & (ti == 0))
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    r2 = r * r
+    span = chunk + (k - 1) * r2
+    ci_pad = x0_ref.shape[1]
+    if single:
+        xv = x0_ref[0]
+
+        def window(s0):
+            return jax.lax.slice(xv, (0, s0), (ci_pad, s0 + span))
+    else:
+        xw[:, pl.ds(0, tile)] = x0_ref[0]
+        xw[:, pl.ds(tile, tile)] = x1_ref[0]
+
+        def window(s0):
+            return xw[:, pl.ds(s0, span)]
+    masks = _masks(k, r, span)
+    g_tile = g_ref[0]
+    zero = jnp.zeros((), x0_ref.dtype)
+    for c in range(tile // chunk):
+        base = c * chunk
+        for ky in range(k):
+            for kz in range(k):
+                sv = jnp.where(masks[ky][kz], window(base + ky * r + kz),
+                               zero)
+                for kx in range(k):
+                    o2 = (ky * k + kz) * k + kx
+                    pk[pl.ds(o2 * ci_pad, ci_pad), :] = jax.lax.slice(
+                        sv, (0, kx * r2), (ci_pad, kx * r2 + chunk))
+        gc = jax.lax.slice(g_tile, (0, base), (g_tile.shape[0], base + chunk))
+        out_ref[...] += jax.lax.dot_general(
+            pk[...], gc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision(xw.dtype))
+
+
+def _pad_rows(x, ci_pad, c0, pad_total, r3):
+    """[B, Ci, R^3] -> [B, ci_pad, r3 + pad_total] zero-extended rows
+    (c0 on the left, the rest on the right)."""
+    b, ci, _ = x.shape
+    return jnp.pad(x, ((0, 0), (0, ci_pad - ci),
+                       (c0, pad_total - c0)))
+
+
+def _x_specs(b, ci_pad, tile, n_tiles, c0, r3):
+    """(x block specs, xe pad_total, single, xblock) for the two-block
+    sliding window, or the one-block whole-row window when n_tiles == 1."""
+    if n_tiles == 1:
+        xblock = tile + _round_up(2 * c0, 128)
+        specs = [
+            pl.BlockSpec((1, ci_pad, xblock), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci_pad, 128), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),   # unused stub
+        ]
+        return specs, xblock - r3, True, xblock
+    specs = [
+        pl.BlockSpec((1, ci_pad, tile), lambda bi, ti: (bi, 0, ti),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ci_pad, tile), lambda bi, ti: (bi, 0, ti + 1),
+                     memory_space=pltpu.VMEM),
+    ]
+    return specs, tile, False, tile
+
+
+def _pack_w_fwd(kernel, ci_pad, co_pad):
+    """[k,k,k,ci,co] -> [k*co_pad, k^2*ci_pad], row blocks kx-major, columns
+    (ky*k + kz)*ci_pad + ci (pk row order)."""
+    k = kernel.shape[0]
+    ci, co = kernel.shape[3], kernel.shape[4]
+    w = jnp.pad(kernel, ((0, 0),) * 3 + ((0, ci_pad - ci), (0, co_pad - co)))
+    # -> [kx, co, ky, kz, ci]
+    w = jnp.transpose(w, (0, 4, 1, 2, 3))
+    return w.reshape(k * co_pad, k * k * ci_pad)
+
+
+def _run_fwd(x, kernel, r, out_dtype=None):
+    """x [B, Ci, R^3] (logical), kernel [k,k,k,Ci,Co] -> [B, Co_pad, R^3]
+    (caller slices co)."""
+    b, ci, r3 = x.shape
+    k = kernel.shape[0]
+    co = kernel.shape[4]
+    plan = conv_rows_plan(b, r, ci, co, k, x.dtype)
+    tile, n_tiles, chunk, ci_pad, co_pad, c0 = plan
+    span = chunk + (k - 1) * r * r
+    x_specs, pad_total, single, _ = _x_specs(b, ci_pad, tile, n_tiles, c0, r3)
+    xe = _pad_rows(x, ci_pad, c0, pad_total, r3)
+    w2 = _pack_w_fwd(kernel.astype(x.dtype), ci_pad, co_pad)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, k, r, tile, chunk, single),
+        out_shape=jax.ShapeDtypeStruct((b, co_pad, r3),
+                                       out_dtype or x.dtype),
+        grid=(b, n_tiles),
+        in_specs=x_specs + [
+            pl.BlockSpec((k * co_pad, k * k * ci_pad),
+                         lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, co_pad, tile), lambda bi, ti: (bi, 0, ti),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((ci_pad, 128 if single else 2 * tile), x.dtype),
+            pltpu.VMEM((k * k * ci_pad, span), x.dtype),
+            pltpu.VMEM((k * co_pad, span), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(xe, xe, w2)
+    return out
+
+
+def _run_wgrad(x, g, r, k):
+    """x [B, Ci, R^3], g [B, Co, R^3] -> dW [k,k,k,Ci,Co] f32."""
+    b, ci, r3 = x.shape
+    co = g.shape[1]
+    plan = conv_rows_plan(b, r, ci, co, k, x.dtype)
+    tile, n_tiles, chunk, ci_pad, co_pad, c0 = plan
+    span = chunk + (k - 1) * r * r
+    x_specs, pad_total, single, _ = _x_specs(b, ci_pad, tile, n_tiles, c0, r3)
+    xe = _pad_rows(x, ci_pad, c0, pad_total, r3)
+    ge = jnp.pad(g, ((0, 0), (0, co_pad - co), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_wgrad_kernel, k, r, tile, chunk, single),
+        out_shape=jax.ShapeDtypeStruct((k ** 3 * ci_pad, co_pad),
+                                       jnp.float32),
+        grid=(b, n_tiles),
+        in_specs=x_specs + [
+            pl.BlockSpec((1, co_pad, tile), lambda bi, ti: (bi, 0, ti),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k ** 3 * ci_pad, co_pad),
+                               lambda bi, ti: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((ci_pad, 128 if single else 2 * tile), x.dtype),
+            pltpu.VMEM((k ** 3 * ci_pad, chunk), x.dtype),
+        ],
+        interpret=_interpret(),
+    )(xe, xe, ge)
+    # pk row order (ky, kz, kx) -> dW [kx, ky, kz, ci, co]
+    out = out.reshape(k, k, k, ci_pad, co_pad)[:, :, :, :ci, :co]
+    return jnp.transpose(out, (2, 0, 1, 3, 4))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3d_rows(x, kernel, r):
+    """Stride-1 SAME conv3d on the flat rows layout.
+
+    Args:
+      x:      [B, Ci, R^3] voxel features, flat index xr*R^2 + y*R + z
+              (the avg_voxelize flat order, vox.cu:31).
+      kernel: [k, k, k, Ci, Co] (flax nn.Conv layout; spatial dims x, y, z).
+      r:      R (static).
+    Returns:
+      [B, Co, R^3] in x.dtype. Requires conv_rows_supported(...).
+    """
+    out, _ = _conv3d_rows_fwd(x, kernel, r)
+    return out
+
+
+def _conv3d_rows_fwd(x, kernel, r):
+    co = kernel.shape[4]
+    out = _run_fwd(x, kernel, r)[:, :co, :]
+    return out, (x, kernel)
+
+
+def _conv3d_rows_bwd(r, res, g):
+    x, kernel = res
+    k = kernel.shape[0]
+    g = g.astype(x.dtype)
+    # dgrad: same masked conv of g with taps flipped and ci/co swapped
+    kt = jnp.flip(kernel, axis=(0, 1, 2)).swapaxes(3, 4)
+    dx = _run_fwd(g, kt, r)[:, :x.shape[1], :].astype(x.dtype)
+    dw = _run_wgrad(x, g, r, k).astype(kernel.dtype)
+    return dx, dw
+
+
+conv3d_rows.defvjp(_conv3d_rows_fwd, _conv3d_rows_bwd)
