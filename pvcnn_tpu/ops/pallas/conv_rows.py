@@ -81,9 +81,14 @@ def conv_rows_plan(b, r, ci, co, k, dtype):
 
     def vmem_use(t, ch):
         span = ch + (k - 1) * r2
+        # pk scratch is shared: k^2*ci_pad x span in the fwd kernel but
+        # k^3*ci_pad x chunk in the wgrad kernel — budget the larger one
+        # (round-2 advisor: the fwd-only estimate under-counted wgrad by
+        # ~4 MB at r=32 plans, risking Mosaic VMEM failures on real TPU).
+        pk = max(k * k * ci_pad * span, k ** 3 * ci_pad * ch)
         use = (4 * ci_pad * t            # x0/x1 double-buffered
                + ci_pad * 2 * t          # xw scratch
-               + k * k * ci_pad * span   # pk9
+               + pk
                + 2 * co_pad * t)         # out or g block (dbuf)
         use *= itemsize
         use += k * co_pad * span * 4     # P scratch (f32)
@@ -106,7 +111,11 @@ def conv_rows_supported(b, r, ci, co, k, dtype) -> bool:
         return False
     if not (_interpret() or jax.default_backend() == "tpu"):
         return False
-    return conv_rows_plan(b, r, ci, co, k, dtype) is not None
+    # the backward's dgrad runs the fwd kernel with ci/co swapped — both
+    # directions must plan, or jax.grad would hit a None plan (round-2
+    # advisor: r=32, ci=16, co=64 planned fwd-only and crashed in grad)
+    return (conv_rows_plan(b, r, ci, co, k, dtype) is not None
+            and conv_rows_plan(b, r, co, ci, k, dtype) is not None)
 
 
 def _masks(k, r, span):
@@ -262,6 +271,22 @@ def _pack_w_fwd(kernel, ci_pad, co_pad):
     return w.reshape(k * co_pad, k * k * ci_pad)
 
 
+def _xla_fallback_fwd(x, kernel, r, out_dtype):
+    """Plan-less escape hatch: same math via XLA's NDHWC conv (callers that
+    bypass conv_rows_supported, e.g. direct conv3d_rows use, must not crash
+    when one grad direction has no VMEM plan)."""
+    b, ci, r3 = x.shape
+    co = kernel.shape[4]
+    xg = jnp.transpose(x, (0, 2, 1)).reshape(b, r, r, r, ci)
+    dn = jax.lax.conv_dimension_numbers(xg.shape, kernel.shape,
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+    y = jax.lax.conv_general_dilated(
+        xg, kernel, (1, 1, 1), "SAME", dimension_numbers=dn,
+        precision=_precision(x.dtype))
+    y = jnp.transpose(y.reshape(b, r3, co), (0, 2, 1))
+    return y.astype(out_dtype or x.dtype)
+
+
 def _run_fwd(x, kernel, r, out_dtype=None):
     """x [B, Ci, R^3] (logical), kernel [k,k,k,Ci,Co] -> [B, Co_pad, R^3]
     (caller slices co)."""
@@ -269,6 +294,8 @@ def _run_fwd(x, kernel, r, out_dtype=None):
     k = kernel.shape[0]
     co = kernel.shape[4]
     plan = conv_rows_plan(b, r, ci, co, k, x.dtype)
+    if plan is None:
+        return _xla_fallback_fwd(x, kernel, r, out_dtype)
     tile, n_tiles, chunk, ci_pad, co_pad, c0 = plan
     span = chunk + (k - 1) * r * r
     x_specs, pad_total, single, _ = _x_specs(b, ci_pad, tile, n_tiles, c0, r3)
@@ -300,6 +327,11 @@ def _run_wgrad(x, g, r, k):
     b, ci, r3 = x.shape
     co = g.shape[1]
     plan = conv_rows_plan(b, r, ci, co, k, x.dtype)
+    if plan is None:
+        # conv is linear in w, so the VJP at w=0 is the exact weight grad
+        w0 = jnp.zeros((k, k, k, ci, co), x.dtype)
+        _, vjp = jax.vjp(lambda w: _xla_fallback_fwd(x, w, r, g.dtype), w0)
+        return vjp(g)[0].astype(jnp.float32)
     tile, n_tiles, chunk, ci_pad, co_pad, c0 = plan
     span = chunk + (k - 1) * r * r
     x_specs, pad_total, single, _ = _x_specs(b, ci_pad, tile, n_tiles, c0, r3)
