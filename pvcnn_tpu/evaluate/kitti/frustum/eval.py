@@ -74,7 +74,7 @@ def evaluate(configs):
     import optax
 
     from pvcnn_tpu.data.loader import DataLoader
-    from pvcnn_tpu.train.trainer import Trainer, load_checkpoint
+    from pvcnn_tpu.train.trainer import Trainer, load_eval_checkpoint
 
     num_tests = int(configs.evaluate.get("num_tests", 1))
     results: dict = {}
@@ -103,7 +103,7 @@ def evaluate(configs):
         print(f"==> no checkpoint at {ckpt}")
         return None
     print(f'==> loading checkpoint "{ckpt}"')
-    state, _ = load_checkpoint(ckpt, state, restore_opt=False)
+    state = load_eval_checkpoint(ckpt, state, model)
 
     size_templates = np.asarray(configs.data.size_templates).reshape(-1, 3)
     nh = configs.data.num_heading_angle_bins

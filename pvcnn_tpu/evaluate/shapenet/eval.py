@@ -54,7 +54,7 @@ def evaluate(configs):
     import jax
 
     from pvcnn_tpu.meters.shapenet import MeterShapeNet
-    from pvcnn_tpu.train.trainer import Trainer, load_checkpoint
+    from pvcnn_tpu.train.trainer import Trainer, load_eval_checkpoint
 
     seed = configs.get("seed") or 0
     random.seed(seed)
@@ -80,7 +80,7 @@ def evaluate(configs):
     if not os.path.exists(ckpt):
         print(f"==> no checkpoint at {ckpt}")
         return None
-    state, _ = load_checkpoint(ckpt, state, restore_opt=False)
+    state = load_eval_checkpoint(ckpt, state, model)
 
     eval_batch = int(configs.evaluate.get("batch_size", 32))
 

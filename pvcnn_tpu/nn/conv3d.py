@@ -100,14 +100,19 @@ class Conv3dSame(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, rows_resolution: int | None = None):
+        """NDHWC grid [B,D,H,W,Ci] by default; with `rows_resolution=R` the
+        input/output are FLAT rows [B, Ci, R^3] and the conv runs through the
+        Pallas flat-rows kernel (ops/pallas/conv_rows.py — callers must gate
+        on conv_rows_supported). Parameter shapes/names are layout-independent
+        so checkpoints transfer between the two paths."""
         k = int(self.kernel_size)
         # even k would make XLA 'SAME' (pad left k//2-?, right k//2) disagree
         # with the custom wgrad's symmetric k//2 padding AND with the reference
         # (torch pads k//2 both sides -> output D+1); only odd k is defined
         assert k % 2 == 1, (
             f"Conv3dSame requires an odd kernel_size, got {k}")
-        ci = x.shape[-1]
+        ci = x.shape[1] if rows_resolution is not None else x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (k, k, k, ci, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
@@ -115,6 +120,11 @@ class Conv3dSame(nn.Module):
         dt = self.dtype or x.dtype
         xd = x.astype(dt)
         kd = kernel.astype(dt)
+        if rows_resolution is not None:
+            from pvcnn_tpu.ops.pallas.conv_rows import conv3d_rows
+
+            y = conv3d_rows(xd, kd, int(rows_resolution))
+            return y + bias.astype(y.dtype)[:, None]
         if os.environ.get("PVCNN_TPU_CUSTOM_CONV_WGRAD") == "1":
             y = conv3d_same(xd, kd)
         else:

@@ -48,13 +48,16 @@ class SE3d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # x: [B, R, R, R, C]
-        squeezed = jnp.mean(x, axis=(1, 2, 3))  # [B, C]
+        # x: [B, R, R, R, C] (NDHWC) or [B, C, R^3] (flat rows)
+        flat = x.ndim == 3
+        squeezed = jnp.mean(x, axis=(2,) if flat else (1, 2, 3))  # [B, C]
         h = nn.Dense(self.channels // self.reduction, use_bias=False,
                      dtype=self.dtype)(squeezed)
         h = nn.relu(h)
         h = nn.Dense(self.channels, use_bias=False, dtype=self.dtype)(h)
         scale = nn.sigmoid(h)
+        if flat:
+            return x * scale[:, :, None]
         return x * scale[:, None, None, None, :]
 
 
@@ -75,15 +78,36 @@ class PVConv(nn.Module):
         )(features, coords)
 
         k = int(self.kernel_size)
+        r = int(self.resolution)
+        b, ci = features.shape[0], grid.shape[-1]
+        co = int(self.out_channels)
+        dt = self.dtype or features.dtype
+        # flat-rows voxel branch: run the whole conv stack on [B, C, R^3]
+        # through the Pallas conv_rows kernel (channels on sublanes, rows on
+        # lanes — the layout the scatter/gather kernels natively produce).
+        # XLA's NDHWC conv emitter picks batch-on-lanes layouts that waste
+        # vector lanes in every BN/elementwise op and force relayouts around
+        # the Pallas custom calls. Both convs must plan (fwd+dgrad+wgrad);
+        # PVCNN_TPU_CONV_ROWS=0 disables.
+        from pvcnn_tpu.ops.pallas.conv_rows import conv_rows_supported
+        use_rows = (conv_rows_supported(b, r, ci, co, k, dt)
+                    and conv_rows_supported(b, r, co, co, k, dt))
+        if use_rows:
+            grid = jnp.swapaxes(grid.reshape(b, r * r * r, ci), 1, 2)
         for i in range(2):
             # named Conv_{i} so checkpoint-import paths match flax nn.Conv's
             # auto-naming; custom wgrad backward — see nn/conv3d.py
             grid = Conv3dSame(self.out_channels, k, dtype=self.dtype,
-                              name=f"Conv_{i}")(grid)
-            grid = BatchNorm(epsilon=1e-4, dtype=self.dtype)(grid, train=train)
+                              name=f"Conv_{i}")(
+                grid, rows_resolution=r if use_rows else None)
+            grid = BatchNorm(epsilon=1e-4, dtype=self.dtype,
+                             channel_axis=1 if use_rows else -1)(
+                grid, train=train)
             grid = nn.leaky_relu(grid, negative_slope=0.1)
         if self.with_se:
             grid = SE3d(self.out_channels, dtype=self.dtype)(grid)
+        if use_rows:
+            grid = jnp.swapaxes(grid, 1, 2).reshape(b, r, r, r, co)
 
         voxel_features = ops.trilinear_devoxelize(grid, norm_coords, self.resolution)
         point_features = SharedMLP([self.out_channels], dtype=self.dtype)(

@@ -32,10 +32,16 @@ class BatchNorm(nn.Module):
     epsilon: float = 1e-5
     momentum: float = 0.1
     dtype: jnp.dtype | None = None
+    # which axis holds channels: -1 for the framework's [..., C] convention,
+    # 1 for the flat-rows voxel branch ([B, C, R^3], nn/pvconv.py). Parameter
+    # shapes and running-stat semantics are identical either way, so the two
+    # layouts share checkpoints.
+    channel_axis: int = -1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        features = x.shape[-1]
+        ax = self.channel_axis % x.ndim
+        features = x.shape[ax]
         scale = self.param("scale", nn.initializers.ones, (features,),
                           jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (features,),
@@ -45,15 +51,17 @@ class BatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((features,), jnp.float32))
 
+        axes = tuple(i for i in range(x.ndim) if i != ax)
+        bshape = [1] * x.ndim
+        bshape[ax] = features
         if train:
             xf = x.astype(jnp.float32)
-            axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axis=axes)
             var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
             if not self.is_initializing():
                 n = 1
-                for d in x.shape[:-1]:
-                    n *= d
+                for i in axes:
+                    n *= x.shape[i]
                 unbiased = var * (n / max(n - 1, 1))
                 m = self.momentum
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean
@@ -61,8 +69,9 @@ class BatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
-        y = y * scale + bias
+        y = ((x.astype(jnp.float32) - mean.reshape(bshape))
+             * jax.lax.rsqrt(var.reshape(bshape) + self.epsilon))
+        y = y * scale.reshape(bshape) + bias.reshape(bshape)
         return y.astype(self.dtype or x.dtype)
 
 

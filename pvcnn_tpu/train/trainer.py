@@ -331,6 +331,19 @@ def load_checkpoint(path: str, state: TrainState, restore_opt: bool = True):
     return restored, payload.get("meters", {})
 
 
+def load_eval_checkpoint(path: str, state: TrainState, model):
+    """Extension-dispatching checkpoint load for the evaluators: a reference
+    torch `.pth.tar`/`.pth` (released checkpoints, reference README.md:129-147)
+    goes through utils/checkpoint_import's structural mapping; anything else is
+    a native msgpack `.ckpt`. Optimizer state is never restored."""
+    if path.endswith((".pth.tar", ".pth")):
+        from pvcnn_tpu.utils.checkpoint_import import import_torch_checkpoint
+
+        return import_torch_checkpoint(path, state, model)
+    state, _ = load_checkpoint(path, state, restore_opt=False)
+    return state
+
+
 def copy_checkpoint(src: str, dst: str):
     os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
     shutil.copyfile(src, dst)

@@ -508,3 +508,60 @@ def import_state_dict(state_dict: Dict[str, np.ndarray], params: dict,
         else:
             raise ValueError(kind)
     return params, batch_stats
+
+
+# ---- CLI glue ----------------------------------------------------------------
+
+def mapping_for_model(model, params) -> List[Tuple[str, str, str]]:
+    """Pick the released-checkpoint mapping for a model instance.
+
+    Used by the evaluators' extension dispatch (`--evaluate` on a reference
+    `.pth.tar`, reference README.md:129-147). `params` (the model's flax
+    parameter tree) disambiguates the Frustum variants, which share the
+    FrustumNet class (models/kitti/frustum/frustum_net.py:94-160).
+    """
+    name = type(model).__name__
+    mod = getattr(type(model), "__module__", "")
+    if name == "PVCNN":
+        return (pvcnn_shapenet_mapping() if "shapenet" in mod
+                else pvcnn_s3dis_mapping())
+    if name == "PVCNN2":
+        return pvcnn2_s3dis_mapping()
+    if name == "PointNet":
+        if "shapenet" in mod:
+            return pointnet_shapenet_mapping(
+                with_transformer=bool(getattr(model, "with_transformer",
+                                              False)))
+        return pointnet_s3dis_mapping()
+    if name == "PointNet2SSG":
+        return pointnet2_shapenet_mapping(msg=False)
+    if name == "PointNet2MSG":
+        return pointnet2_shapenet_mapping(msg=True)
+    if name == "FrustumNet":
+        if "InstanceSegmentationPointNet2_0" in params:
+            return frustum_mapping("pointnet2")
+        seg = params.get("InstanceSegmentationNet_0", {})
+        has_pvconv = any(k.startswith("PVConv") for k in seg)
+        return frustum_mapping("pvcnne" if has_pvconv else "pointnet")
+    raise ValueError(
+        f"no released-checkpoint mapping for model class {name!r}; "
+        "supported: PVCNN/PVCNN2/PointNet/PointNet2SSG/PointNet2MSG/"
+        "FrustumNet")
+
+
+def import_torch_checkpoint(path: str, state, model):
+    """Load a reference `.pth.tar` into a TrainState (params + batch_stats
+    replaced; optimizer state/epoch untouched)."""
+    import flax
+    import jax.numpy as jnp
+
+    params = flax.core.unfreeze(state.params)
+    batch_stats = flax.core.unfreeze(state.batch_stats)
+    state_dict = load_torch_state_dict(path)
+    mapping = mapping_for_model(model, params)
+    params, batch_stats = import_state_dict(state_dict, params, batch_stats,
+                                            mapping)
+    import jax
+    to_dev = lambda t: jax.tree.map(jnp.asarray, t)  # noqa: E731
+    return state.replace(params=to_dev(params),
+                         batch_stats=to_dev(batch_stats))

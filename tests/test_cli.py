@@ -123,3 +123,48 @@ def test_train_and_evaluate_cli(micro_shapenet, tmp_path):
     assert stats[:2, 1].sum() == 4  # 4 shapes evaluated (2 cats x 2 items)
     miou = stats[:, 0].sum() / stats[:, 1].sum()
     assert 0.0 <= miou <= 1.0
+
+
+@pytest.mark.slow
+def test_evaluate_pth_tar_cli(micro_shapenet, tmp_path):
+    """Released-checkpoint workflow (reference README.md:129-147): `--evaluate
+    --configs.evaluate.best_checkpoint_path=<x.pth.tar>` must consume a torch
+    state dict directly. The same weights evaluated through the .pth.tar route
+    and through a native msgpack .ckpt must produce identical stats."""
+    import torch
+
+    from pvcnn_tpu.models import shapenet
+    from pvcnn_tpu.train.optim import Adam
+    from pvcnn_tpu.train.trainer import Trainer, save_checkpoint
+    from pvcnn_tpu.utils import checkpoint_import as ci
+    from tests.test_checkpoint_import import synthetic_state_dict
+
+    model = shapenet.PVCNN(num_classes=50, num_shapes=16,
+                           extra_feature_channels=3, width_multiplier=0.125)
+    tx, _ = Adam(1e-3)
+    trainer = Trainer(model, criterion=None, tx=tx)
+    state = trainer.init_state(np.zeros((1, 32, 6 + 16), np.float32))
+    mapping = ci.pvcnn_shapenet_mapping()
+    sd = synthetic_state_dict(mapping, state.params, state.batch_stats)
+
+    pth_path = str(tmp_path / "released.pth.tar")
+    torch.save({"model": {k: torch.from_numpy(np.asarray(v))
+                          for k, v in sd.items()}}, pth_path)
+
+    # same weights through the structural import -> native .ckpt
+    params, batch_stats = ci.import_state_dict(
+        sd, state.params, state.batch_stats, mapping)
+    ckpt_path = str(tmp_path / "imported.ckpt")
+    save_checkpoint(ckpt_path, state.replace(params=params,
+                                             batch_stats=batch_stats))
+
+    common = ["--evaluate", "--configs.evaluate.num_votes=2"]
+    _run_train(micro_shapenet, tmp_path, extra=common + [
+        f"--configs.evaluate.best_checkpoint_path={pth_path}"])
+    _run_train(micro_shapenet, tmp_path, extra=common + [
+        f"--configs.evaluate.best_checkpoint_path={ckpt_path}"])
+
+    stats_pth = np.load(tmp_path / "released.eval.npy")
+    stats_ckpt = np.load(tmp_path / "imported.eval.npy")
+    assert stats_pth[:2, 1].sum() == 4
+    np.testing.assert_array_equal(stats_pth, stats_ckpt)

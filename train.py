@@ -71,11 +71,19 @@ def prepare():
             configs.evaluate.best_checkpoint_path = (
                 configs.train.get("best_checkpoint_path")
                 or os.path.join(configs.train.save_path, "best.ckpt"))
-        assert configs.evaluate.best_checkpoint_path.endswith(".ckpt")
-        configs.evaluate.predictions_path = \
-            configs.evaluate.best_checkpoint_path.replace(".ckpt", ".predictions")
-        configs.evaluate.stats_path = \
-            configs.evaluate.best_checkpoint_path.replace(".ckpt", ".eval.npy")
+        ckpt_path = configs.evaluate.best_checkpoint_path
+        # native msgpack .ckpt or a released reference .pth.tar (the evaluators
+        # dispatch on the extension — trainer.load_eval_checkpoint)
+        stem = None
+        for ext in (".ckpt", ".pth.tar", ".pth"):
+            if ckpt_path.endswith(ext):
+                stem = ckpt_path[: -len(ext)]
+                break
+        assert stem is not None, (
+            f"evaluate.best_checkpoint_path must end in .ckpt/.pth.tar/.pth, "
+            f"got {ckpt_path!r}")
+        configs.evaluate.predictions_path = stem + ".predictions"
+        configs.evaluate.stats_path = stem + ".eval.npy"
 
     return configs
 
