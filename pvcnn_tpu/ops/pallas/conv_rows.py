@@ -92,7 +92,8 @@ def conv_rows_plan(b, r, ci, co, k, dtype):
                + 2 * co_pad * t)         # out or g block (dbuf)
         use *= itemsize
         use += k * co_pad * span * 4     # P scratch (f32)
-        use += k ** 3 * ci_pad * max(co_pad, 128) * 4  # wgrad out block
+        # wgrad out block [co_pad, k^3*ci_pad] (lane dim pads to 128)
+        use += co_pad * _round_up(k ** 3 * ci_pad, 128) * 4
         return use
 
     for t in (8192, 4096, 2048):
@@ -197,6 +198,10 @@ def _wgrad_kernel(k, r, tile, chunk, single, x0_ref, x1_ref, g_ref, out_ref,
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
+    # out is [co_pad, k^3*ci_pad]: N = k^3*ci_pad fills the MXU lane tiles
+    # (~84% at ci_pad=16) where the [k^3*ci_pad, co_pad] orientation left
+    # N = co_pad = 16 of 128 lanes active (measured 3.07 -> see PERFORMANCE.md)
+
     r2 = r * r
     span = chunk + (k - 1) * r2
     ci_pad = x0_ref.shape[1]
@@ -226,7 +231,7 @@ def _wgrad_kernel(k, r, tile, chunk, single, x0_ref, x1_ref, g_ref, out_ref,
                         sv, (0, kx * r2), (ci_pad, kx * r2 + chunk))
         gc = jax.lax.slice(g_tile, (0, base), (g_tile.shape[0], base + chunk))
         out_ref[...] += jax.lax.dot_general(
-            pk[...], gc, (((1,), (1,)), ((), ())),
+            gc, pk[...], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_precision(xw.dtype))
 
@@ -339,14 +344,14 @@ def _run_wgrad(x, g, r, k):
     ge = jnp.pad(g, ((0, 0), (0, co_pad - co), (0, 0)))
     out = pl.pallas_call(
         functools.partial(_wgrad_kernel, k, r, tile, chunk, single),
-        out_shape=jax.ShapeDtypeStruct((k ** 3 * ci_pad, co_pad),
+        out_shape=jax.ShapeDtypeStruct((co_pad, k ** 3 * ci_pad),
                                        jnp.float32),
         grid=(b, n_tiles),
         in_specs=x_specs + [
             pl.BlockSpec((1, co_pad, tile), lambda bi, ti: (bi, 0, ti),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((k ** 3 * ci_pad, co_pad),
+        out_specs=pl.BlockSpec((co_pad, k ** 3 * ci_pad),
                                lambda bi, ti: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -355,9 +360,9 @@ def _run_wgrad(x, g, r, k):
         ],
         interpret=_interpret(),
     )(xe, xe, ge)
-    # pk row order (ky, kz, kx) -> dW [kx, ky, kz, ci, co]
-    out = out.reshape(k, k, k, ci_pad, co_pad)[:, :, :, :ci, :co]
-    return jnp.transpose(out, (2, 0, 1, 3, 4))
+    # out columns follow the pk row order (ky, kz, kx, ci) -> [kx,ky,kz,ci,co]
+    out = out[:co].reshape(co, k, k, k, ci_pad)[..., :ci]
+    return jnp.transpose(out, (3, 1, 2, 4, 0))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
