@@ -7,7 +7,10 @@ docs/PERFORMANCE.md); `value` is the MEDIAN over independent timed windows and
 `spread_pct` is (max-min)/median over those windows, so a single contended
 window cannot skew the record (round-1 lesson: one-shot timings drifted 23%
 between runs). The `fp32_recipe` field tracks the reference training recipe
-(fp32 activations, batch 32) the accuracy-parity claims depend on.
+(fp32 activations, batch 32) the accuracy-parity claims depend on, and
+`extra_configs` records the other BASELINE.json accuracy-bearing configs
+(S3DIS PVCNN 1x / PVCNN2 1x, ShapeNet PVCNN 1x, Frustum PVCNNE) so perf
+regressions on them are driver-visible. PVCNN_TPU_BENCH_EXTRAS=0 skips them.
 
 The reference repo publishes no throughput numbers (SURVEY.md §6), so
 `vs_baseline` is measured against a fixed documented proxy: 1.0e6 points/sec
@@ -15,7 +18,10 @@ for the reference CUDA implementation of this config on an A100-class device
 (order-of-magnitude estimate from the paper's GTX1080Ti latencies scaled by
 generational speedups). The proxy is a constant so the ratio is comparable
 across rounds; BASELINE.json's target of >=5x A100-equivalent corresponds to
-vs_baseline >= 5.
+vs_baseline >= 5. The `roofline` field grounds the same number in hardware
+limits instead: XLA's compiled cost analysis gives FLOPs/step and HBM bytes
+(Pallas custom calls report zero FLOPs there, so `mfu_pct` is a LOWER bound),
+divided by the step time against the v5e datasheet peaks.
 
 Params, BatchNorm statistics, and the optimizer state stay fp32 in both
 configs; the evaluators force fp32 matmul precision, so checkpoint-parity
@@ -32,6 +38,12 @@ import time
 import numpy as np
 
 PROXY_BASELINE_POINTS_PER_SEC = 1.0e6
+
+# TPU v5e (v5 lite) datasheet peaks: 197 TFLOP/s bf16 (fp32 matmuls run as
+# multi-pass bf16 on the same MXU, so the bf16 peak is the conservative
+# denominator for every config), 819 GB/s HBM.
+V5E_PEAK_FLOPS = 197e12
+V5E_PEAK_HBM_BPS = 819e9
 
 NUM_POINTS = 2048
 WARMUP = 5
@@ -55,28 +67,115 @@ def _enable_compile_cache():
         pass  # older jax / read-only checkout: compile uncached
 
 
-def _measure(batch_size: int, dtype: str, windows: int = WINDOWS,
-             iters: int = ITERS):
-    """Median points/sec/chip over `windows` independent timed windows."""
-    import jax
-
-    from pvcnn_tpu.models.shapenet import PVCNN
+def _build(config: str, dtype: str):
+    """-> (trainer, inputs, labels/targets, batch_size, num_points)."""
     from pvcnn_tpu.nn.loss import CrossEntropyLoss
-    from pvcnn_tpu.parallel import mesh as pmesh
     from pvcnn_tpu.train.optim import Adam
     from pvcnn_tpu.train.trainer import Trainer
 
-    model = PVCNN(num_classes=50, num_shapes=16, extra_feature_channels=3,
-                  width_multiplier=0.25, dtype=dtype)
-    tx, _ = Adam(1e-3)
-    trainer = Trainer(model, CrossEntropyLoss(), tx)
-
     rng = np.random.RandomState(0)
-    inputs = rng.randn(batch_size, NUM_POINTS, 6 + 16).astype(np.float32)
-    labels = rng.randint(0, 50, size=(batch_size, NUM_POINTS))
+    tx, _ = Adam(1e-3)
+    if config == "shapenet_pvcnn_0p25":
+        from pvcnn_tpu.models.shapenet import PVCNN
+        model = PVCNN(num_classes=50, num_shapes=16, extra_feature_channels=3,
+                      width_multiplier=0.25, dtype=dtype)
+        b, n, in_ch, n_cls = (64 if dtype == "bfloat16" else 32), NUM_POINTS, 22, 50
+    elif config == "shapenet_pvcnn_1":
+        from pvcnn_tpu.models.shapenet import PVCNN
+        model = PVCNN(num_classes=50, num_shapes=16, extra_feature_channels=3,
+                      width_multiplier=1.0, dtype=dtype)
+        b, n, in_ch, n_cls = 32, NUM_POINTS, 22, 50
+    elif config == "s3dis_pvcnn_1":
+        from pvcnn_tpu.models.s3dis import PVCNN
+        model = PVCNN(num_classes=13, extra_feature_channels=6,
+                      width_multiplier=1.0, dtype=dtype)
+        b, n, in_ch, n_cls = 32, 4096, 9, 13
+    elif config == "s3dis_pvcnn2_1":
+        from pvcnn_tpu.models.s3dis import PVCNN2
+        model = PVCNN2(num_classes=13, extra_feature_channels=6,
+                       width_multiplier=1.0, dtype=dtype)
+        b, n, in_ch, n_cls = 8, 8192, 9, 13
+    elif config == "frustum_pvcnne":
+        return _build_frustum(dtype, rng, tx)
+    else:
+        raise ValueError(config)
+    trainer = Trainer(model, CrossEntropyLoss(), tx)
+    inputs = rng.randn(b, n, in_ch).astype(np.float32)
+    labels = rng.randint(0, n_cls, size=(b, n))
+    return trainer, inputs, labels, b, n
 
-    state = trainer.init_state(inputs[:1])
-    batch = pmesh.shard_batch((inputs, labels), trainer.mesh)
+
+def _build_frustum(dtype, rng, tx):
+    """Frustum PVCNN(E) three-stage pipeline + multi-task loss (KITTI
+    frustum config shapes: batch 32 x 1024 points)."""
+    from pvcnn_tpu.models.kitti import frustum as kf
+    from pvcnn_tpu.nn import FrustumPointNetLoss
+    from pvcnn_tpu.train.trainer import Trainer
+
+    b, n, nh, ns = 32, 1024, 12, 8
+    size_templates = (rng.rand(ns, 3) * 2 + 1).astype(np.float32)
+    model = kf.FrustumPVCNNE(num_classes=3, num_heading_angle_bins=nh,
+                             num_size_templates=ns,
+                             num_points_per_object=512,
+                             size_templates=size_templates,
+                             extra_feature_channels=1, dtype=dtype)
+    criterion = FrustumPointNetLoss(num_heading_angle_bins=nh,
+                                    num_size_templates=ns,
+                                    size_templates=size_templates)
+    trainer = Trainer(model, criterion, tx, has_sample_rng=True)
+    inputs = {
+        "features": rng.randn(b, n, 4).astype(np.float32),
+        "one_hot_vectors": np.eye(3, dtype=np.float32)[
+            rng.randint(0, 3, size=(b,))],
+    }
+    targets = {
+        "mask_logits": rng.randint(0, 2, size=(b, n)),
+        "center": rng.randn(b, 3).astype(np.float32),
+        "heading_bin_id": rng.randint(0, nh, size=(b,)),
+        "heading_residual": (rng.randn(b) * 0.1).astype(np.float32),
+        "size_template_id": rng.randint(0, ns, size=(b,)),
+        "size_residual": (rng.randn(b, 3) * 0.1).astype(np.float32),
+    }
+    return trainer, inputs, targets, b, n
+
+
+def _roofline(trainer, state, batch, key, ms_per_step):
+    """FLOPs + HBM bytes from the compiled step's cost analysis vs datasheet
+    peaks. Pallas custom calls contribute zero FLOPs to XLA's count, so
+    mfu_pct is a lower bound; bytes include HBM reads+writes as modeled."""
+    try:
+        compiled = trainer._train_step.lower(state, batch, key).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        bytes_acc = float(ca.get("bytes accessed", 0.0))
+    except Exception as e:  # tunneled backends may not expose cost analysis
+        return {"error": f"cost_analysis unavailable: {type(e).__name__}"}
+    t = ms_per_step / 1e3
+    return {
+        "flops_per_step": flops,
+        "mfu_pct": round(100.0 * flops / t / V5E_PEAK_FLOPS, 2),
+        "bytes_per_step": bytes_acc,
+        "hbm_gbps": round(bytes_acc / t / 1e9, 1),
+        "hbm_util_pct": round(100.0 * bytes_acc / t / V5E_PEAK_HBM_BPS, 1),
+    }
+
+
+def _measure(config: str, dtype: str, windows: int = WINDOWS,
+             iters: int = ITERS, roofline: bool = False):
+    """Median points/sec/chip over `windows` independent timed windows."""
+    import jax
+
+    from pvcnn_tpu.parallel import mesh as pmesh
+
+    trainer, inputs, targets, batch_size, num_points = _build(config, dtype)
+    if isinstance(inputs, dict):
+        example = jax.tree.map(lambda x: x[:1], inputs)
+    else:
+        example = inputs[:1]
+    state = trainer.init_state(example)
+    batch = pmesh.shard_batch((inputs, targets), trainer.mesh)
     key = jax.random.PRNGKey(0)
 
     # NOTE: block_until_ready does not synchronize on the tunneled axon
@@ -100,31 +199,54 @@ def _measure(batch_size: int, dtype: str, windows: int = WINDOWS,
         fence(loss)
         dt = max(time.perf_counter() - t0 - latency, 1e-9)
         n_chips = max(trainer.num_devices, 1)
-        rates.append(batch_size * NUM_POINTS * iters / dt / n_chips)
+        rates.append(batch_size * num_points * iters / dt / n_chips)
     med = statistics.median(rates)
     spread_pct = 100.0 * (max(rates) - min(rates)) / med if med else 0.0
-    return med, spread_pct, rates
+    out = {"value": round(med, 1), "spread_pct": round(spread_pct, 2)}
+    if roofline:
+        ms = batch_size * num_points / med * 1e3
+        out["roofline"] = _roofline(trainer, state, batch, key, ms)
+    return out, rates
+
+
+EXTRA_CONFIGS = (
+    ("shapenet_pvcnn_1", "float32"),
+    ("s3dis_pvcnn_1", "float32"),
+    ("s3dis_pvcnn2_1", "float32"),
+    ("frustum_pvcnne", "float32"),
+)
 
 
 def main():
     _enable_compile_cache()
-    value, spread, rates = _measure(batch_size=64, dtype="bfloat16")
-    fp32_value, fp32_spread, _ = _measure(batch_size=32, dtype="float32",
-                                          windows=3)
-    print(json.dumps({
+    head, rates = _measure("shapenet_pvcnn_0p25", "bfloat16", roofline=True)
+    fp32, _ = _measure("shapenet_pvcnn_0p25", "float32", windows=3)
+    record = {
         "metric": "shapenet_pvcnn_0p25_train_points_per_sec_per_chip",
-        "value": round(value, 1),
+        "value": head["value"],
         "unit": "points/sec/chip",
-        "vs_baseline": round(value / PROXY_BASELINE_POINTS_PER_SEC, 4),
-        "spread_pct": round(spread, 2),
+        "vs_baseline": round(head["value"] / PROXY_BASELINE_POINTS_PER_SEC, 4),
+        "spread_pct": head["spread_pct"],
         "windows": [round(r, 1) for r in rates],
+        "roofline": head.get("roofline", {}),
         "fp32_recipe": {
             "metric": "shapenet_pvcnn_0p25_train_fp32_b32_points_per_sec_per_chip",
-            "value": round(fp32_value, 1),
-            "spread_pct": round(fp32_spread, 2),
-            "vs_baseline": round(fp32_value / PROXY_BASELINE_POINTS_PER_SEC, 4),
+            "value": fp32["value"],
+            "spread_pct": fp32["spread_pct"],
+            "vs_baseline": round(fp32["value"] / PROXY_BASELINE_POINTS_PER_SEC,
+                                 4),
         },
-    }))
+    }
+    if os.environ.get("PVCNN_TPU_BENCH_EXTRAS", "1") != "0":
+        extras = {}
+        for config, dtype in EXTRA_CONFIGS:
+            try:
+                r, _ = _measure(config, dtype, windows=2, iters=15)
+                extras[config] = r
+            except Exception as e:  # one config must not sink the record
+                extras[config] = {"error": f"{type(e).__name__}: {e}"}
+        record["extra_configs"] = extras
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

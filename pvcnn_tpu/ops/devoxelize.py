@@ -192,7 +192,15 @@ def _devox_fwd(grid, norm_coords, resolution):
     interpret = os.environ.get("PVCNN_TPU_PALLAS_INTERPRET") == "1"
     on_tpu = interpret or jax.default_backend() == "tpu"
     sorted_mode = os.environ.get("PVCNN_TPU_DEVOX_FWD_SORTED", "auto")
-    min_bins = int(os.environ.get("PVCNN_TPU_SORTED_MIN_BINS", "16384"))
+    # the FORWARD's sorted-gather threshold is lower than the backward's:
+    # with the flat-rows conv branch (round 3) the sorted gather also beats
+    # the packed-table path at R=16 in-step (35.40 -> 34.69 ms headline),
+    # while the backward's sorted scatter still loses there (38.4 ms with
+    # SORTED_MIN_BINS=4096) — its permutation gather is pricier than the
+    # table saving at 4096 bins.
+    min_bins = int(os.environ.get(
+        "PVCNN_TPU_DEVOX_FWD_MIN_BINS",
+        os.environ.get("PVCNN_TPU_SORTED_MIN_BINS", "4096")))
     if sorted_mode != "0" and on_tpu and c % 8 == 0 and r3 % 128 == 0 and (
             sorted_mode == "1" or r3 >= min_bins):
         out = _sorted_gather_fwd(grid, idx8, w8, r3)
