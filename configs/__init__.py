@@ -5,4 +5,6 @@ configs.deterministic = True  # TPU ops here are deterministic by construction
 
 # data configs
 configs.data = Config()
-configs.data.num_workers = 0  # host prefetch thread instead of worker processes
+# item-fetch thread-pool width (reference configs/__init__.py:8 uses 16
+# worker processes; here threads — h5py/IO release the GIL). 0 = serial.
+configs.data.num_workers = 16

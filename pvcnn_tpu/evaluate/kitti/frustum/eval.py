@@ -128,7 +128,9 @@ def evaluate(configs):
         else:
             loader = DataLoader(dataset, shuffle=False,
                                 batch_size=configs.evaluate.batch_size,
-                                seed=seed)
+                                seed=seed,
+                                num_workers=getattr(configs.data,
+                                                    "num_workers", 0))
             predictions = np.zeros((len(dataset), 8))
             current_step = 0
             for inputs, targets in loader:

@@ -114,3 +114,52 @@ class TestDataLoader:
         loader = DataLoader(Bad(), batch_size=2, prefetch=2)
         with pytest.raises(RuntimeError, match="boom"):
             list(loader)
+
+    def test_worker_pool_matches_serial(self):
+        # pooled item fetch must produce byte-identical batches, same order
+        ds = self._dataset(23)
+        for kw in ({"prefetch": 0}, {"prefetch": 2}):
+            serial = list(DataLoader(ds, batch_size=4, shuffle=True, seed=3,
+                                     num_workers=0, **kw))
+            pooled = list(DataLoader(ds, batch_size=4, shuffle=True, seed=3,
+                                     num_workers=4, **kw))
+            assert len(serial) == len(pooled)
+            for (xs, ys), (xp, yp) in zip(serial, pooled):
+                np.testing.assert_array_equal(xs, xp)
+                np.testing.assert_array_equal(ys, yp)
+
+    def test_worker_pool_raises_errors(self):
+        class Bad:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                if i == 5:
+                    raise RuntimeError("boom")
+                return np.zeros(2, np.float32), np.int64(i)
+
+        loader = DataLoader(Bad(), batch_size=2, prefetch=2, num_workers=3)
+        with pytest.raises(RuntimeError, match="boom"):
+            list(loader)
+
+    def test_process_sharding_partitions_epoch(self):
+        # 4 mocked hosts: disjoint rank-strided slices of the SAME shuffle,
+        # equal per-host lengths (collective-safe), union covers n//world*world
+        ds = self._dataset(23)
+        world = 4
+        seen = []
+        for rank in range(world):
+            dl = DataLoader(ds, batch_size=2, shuffle=True, seed=9,
+                            shard_by_process=True, process_index=rank,
+                            process_count=world)
+            assert len(dl) == 3  # 23//4 = 5 samples -> ceil(5/2)
+            ys = np.concatenate([y for _, y in dl])
+            assert len(ys) == 5
+            seen.append(ys)
+        allseen = np.concatenate(seen)
+        assert len(np.unique(allseen)) == 20  # disjoint, covers 23//4*4
+
+    def test_process_sharding_off_by_default(self):
+        ds = self._dataset(6)
+        dl = DataLoader(ds, batch_size=3, process_index=2, process_count=4)
+        assert len(dl) == 2 and len(list(dl)) == 2

@@ -45,7 +45,8 @@ def main():
     dataset = configs.dataset()
     loaders = {
         split: DataLoader(dataset[split], batch_size=configs.train.batch_size,
-                          shuffle=(split == "train"), seed=seed)
+                          shuffle=(split == "train"), seed=seed,
+                          num_workers=getattr(configs.data, "num_workers", 0))
         for split in dataset
     }
 
