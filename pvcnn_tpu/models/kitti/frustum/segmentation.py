@@ -36,7 +36,6 @@ class InstanceSegmentationNet(nn.Module):
         features = inputs["features"]                      # [B, N, 3+extra]
         one_hot = inputs["one_hot_vectors"]                # [B, num_classes]
         assert one_hot.ndim == 2
-        num_points = features.shape[1]
         in_channels = self.extra_feature_channels + 3
 
         point_layers, channels_point, _ = create_pointnet_components(
@@ -65,16 +64,16 @@ class InstanceSegmentationNet(nn.Module):
                 cloud_features, coords = layer(cloud_features, coords, train=train)
             else:
                 cloud_features = layer(cloud_features, train=train)
-        cloud_global = jnp.tile(jnp.max(cloud_features, axis=1, keepdims=True),
-                                (1, num_points, 1))
-        one_hot_tiled = jnp.tile(one_hot[:, None, :], (1, num_points, 1))
-
         classifier, _ = create_mlp_components(
             in_channels=channels_point + channels_cloud + self.num_classes,
             out_channels=[512, 256, 128, 128, 0.5, 2], classifier=True, dim=2,
             width_multiplier=self.width_multiplier, dtype=self.dtype)
-        x = jnp.concatenate([one_hot_tiled, point_features, cloud_global], axis=-1)
-        return apply_layers(classifier, x, train=train)   # [B, N, 2]
+        # list call: the [B, 1, C] global / one-hot segments broadcast in
+        # SplitDense instead of the reference's tiles (nn/shared_mlp.py)
+        x = classifier[0](
+            [one_hot[:, None, :], point_features,
+             jnp.max(cloud_features, axis=1, keepdims=True)], train=train)
+        return apply_layers(classifier[1:], x, train=train)   # [B, N, 2]
 
 
 def InstanceSegmentationPointNet(num_classes=3, extra_feature_channels=1,

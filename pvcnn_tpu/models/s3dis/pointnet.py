@@ -41,11 +41,12 @@ class PointNet(nn.Module):
         cloud = apply_layers(cloud_layers, jnp.max(point_features, axis=1),
                              train=train)
 
-        features = jnp.concatenate(
-            [point_features, jnp.tile(cloud[:, None, :], (1, num_points, 1))],
-            axis=-1)
         classifier, _ = create_mlp_components(
             in_channels=channels_point + channels_cloud,
             out_channels=[512, 256, 0.3, self.num_classes], classifier=True, dim=2,
             width_multiplier=self.width_multiplier, dtype=self.dtype)
-        return apply_layers(classifier, features, train=train)
+        # list call: Dense(concat) without the concat; [B, 1, C] broadcasts
+        # in place of the reference's tile (nn/shared_mlp.py SplitDense)
+        features = classifier[0]([point_features, cloud[:, None, :]],
+                                 train=train)
+        return apply_layers(classifier[1:], features, train=train)

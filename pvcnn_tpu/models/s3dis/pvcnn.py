@@ -24,12 +24,14 @@ class PVCNN(nn.Module):
     blocks = ((64, 1, 32), (64, 2, 16), (128, 1, 16), (1024, 1, None))
 
     @nn.compact
-    def __call__(self, inputs, train: bool = False):
+    def __call__(self, inputs, train: bool = False, presorted=None):
+        """presorted: optional (vox_coords, norm_coords) for the FIRST
+        PVConv's resolution (normalize=True here), rows presorted by its
+        devoxelize base bin — see train/trainer.py::presort_batch."""
         if isinstance(inputs, dict):
             inputs = inputs["features"]
         in_channels = self.extra_feature_channels + 3
         coords = inputs[..., :3]
-        num_points = inputs.shape[1]
 
         point_layers, channels_point, concat_channels_point = \
             create_pointnet_components(
@@ -40,9 +42,10 @@ class PVCNN(nn.Module):
 
         features = inputs
         out_features_list = []
-        for layer in point_layers:
+        for i, layer in enumerate(point_layers):
             if isinstance(layer, PVConv):
-                features, _ = layer(features, coords, train=train)
+                features, _ = layer(features, coords, train=train,
+                                    precomputed=presorted if i == 0 else None)
             else:
                 features = layer(features, train=train)
             out_features_list.append(features)
@@ -51,11 +54,13 @@ class PVCNN(nn.Module):
             in_channels=channels_point, out_channels=[256, 128], classifier=False,
             dim=1, width_multiplier=self.width_multiplier, dtype=self.dtype)
         cloud = apply_layers(cloud_layers, jnp.max(features, axis=1), train=train)
-        out_features_list.append(jnp.tile(cloud[:, None, :], (1, num_points, 1)))
+        # [B, 1, C]: SplitDense broadcasts in place of the reference's tile
+        out_features_list.append(cloud[:, None, :])
 
         classifier, _ = create_mlp_components(
             in_channels=concat_channels_point + channels_cloud,
             out_channels=[512, 0.3, 256, 0.3, self.num_classes], classifier=True,
             dim=2, width_multiplier=self.width_multiplier, dtype=self.dtype)
-        return apply_layers(classifier, jnp.concatenate(out_features_list, axis=-1),
-                            train=train)
+        # list call: Dense(concat(xs)) without materializing the concat
+        features = classifier[0](out_features_list, train=train)
+        return apply_layers(classifier[1:], features, train=train)

@@ -52,7 +52,6 @@ class PointNet(nn.Module):
         assert inputs.shape[-1] == in_channels + self.num_shapes
         features = inputs[..., :in_channels]
         one_hot_vectors = inputs[..., -self.num_shapes:]
-        num_points = features.shape[1]
 
         out_features_list = [one_hot_vectors]
         channels = in_channels
@@ -67,11 +66,12 @@ class PointNet(nn.Module):
                     features, train=train)
                 channels = out_channels
                 out_features_list.append(features)
-        global_feat = jnp.max(features, axis=1, keepdims=True)
-        out_features_list.append(jnp.tile(global_feat, (1, num_points, 1)))
+        # [B, 1, C]: SplitDense broadcasts in place of the reference's tile,
+        # and the list call skips materializing the concat (nn/shared_mlp.py)
+        out_features_list.append(jnp.max(features, axis=1, keepdims=True))
 
-        x = jnp.concatenate(out_features_list, axis=-1)
-        x = SharedMLP([int(r * 256)], dtype=self.dtype)(x, train=train)
+        x = SharedMLP([int(r * 256)], dtype=self.dtype)(
+            out_features_list, train=train)
         x = nn.Dropout(0.2)(x, deterministic=not train)
         x = SharedMLP([int(r * 256)], dtype=self.dtype)(x, train=train)
         x = nn.Dropout(0.2)(x, deterministic=not train)

@@ -29,11 +29,15 @@ class PVCNN(nn.Module):
     blocks = ((64, 1, 32), (128, 2, 16), (512, 1, None), (2048, 1, None))
 
     @nn.compact
-    def __call__(self, inputs, train: bool = False):
+    def __call__(self, inputs, train: bool = False, presorted=None):
+        """presorted: optional (vox_coords, norm_coords) for the FIRST
+        PVConv's resolution, rows presorted by its devoxelize base bin
+        (train/trainer.py::presort_batch builds it; this model's first
+        PVConv uses normalize=False). All per-point ops are order-agnostic,
+        so outputs are simply in the presorted point order."""
         in_channels = self.extra_feature_channels + 3
         features = inputs[..., :in_channels]
         one_hot_vectors = inputs[..., -self.num_shapes:]
-        num_points = features.shape[1]
         coords = features[..., :3]
 
         point_layers, channels_point, concat_channels_point = \
@@ -44,19 +48,25 @@ class PVCNN(nn.Module):
                 dtype=self.dtype)
 
         out_features_list = [one_hot_vectors]
-        for layer in point_layers:
+        for i, layer in enumerate(point_layers):
             if isinstance(layer, PVConv):
-                features, _ = layer(features, coords, train=train)
+                features, _ = layer(features, coords, train=train,
+                                    precomputed=presorted if i == 0 else None)
             else:
                 features = layer(features, train=train)
             out_features_list.append(features)
-        global_feat = jnp.max(features, axis=1, keepdims=True)
-        out_features_list.append(jnp.tile(global_feat, (1, num_points, 1)))
+        # [B, 1, C] global feature: SplitDense broadcasts it, so the
+        # reference's tile over num_points (models/shapenet/pvcnn.py:40)
+        # never materializes
+        out_features_list.append(jnp.max(features, axis=1, keepdims=True))
 
         classifier, _ = create_mlp_components(
             in_channels=self.num_shapes + channels_point + concat_channels_point,
             out_channels=[256, 0.2, 256, 0.2, 128, self.num_classes],
             classifier=True, dim=2, width_multiplier=self.width_multiplier,
             dtype=self.dtype)
-        return apply_layers(classifier, jnp.concatenate(out_features_list, axis=-1),
-                            train=train)
+        # classifier[0] is a SharedMLP: the list call routes its first Dense
+        # through SplitDense — Dense(concat(xs)) without the ~1.2k-channel
+        # concat buffer (see nn/shared_mlp.py)
+        features = classifier[0](out_features_list, train=train)
+        return apply_layers(classifier[1:], features, train=train)

@@ -15,7 +15,51 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-__all__ = ["SharedMLP", "BatchNorm", "DenseBNReLU"]
+__all__ = ["SharedMLP", "BatchNorm", "DenseBNReLU", "SplitDense"]
+
+
+class SplitDense(nn.Module):
+    """Dense over a LIST of feature arrays == Dense over their channel concat,
+    without materializing the concat.
+
+    y = sum_i x_i @ K[rows_i] + b, with K one [sum(C_i), features] parameter —
+    the exact tree nn.Dense would create on the concatenated input, so
+    checkpoints transfer unchanged. Segments with a singleton points axis
+    ([B, 1, C], e.g. a tiled global feature) broadcast instead of tiling.
+
+    Why: PVCNN's classifier concatenates every block output (reference
+    models/shapenet/pvcnn.py:36-41) into a [B, N, ~1.2k] tensor that exists
+    only to feed the first classifier matmul — at the headline shape that is
+    a ~330 MB buffer written + read forward and again in backward. Summing
+    per-segment matmuls (f32 accumulation, one final rounding) removes all
+    of that HBM traffic; XLA cannot do this rewrite itself because the
+    concat is an explicit op in the graph.
+    """
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, xs):
+        in_ch = sum(x.shape[-1] for x in xs)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_ch, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        dt = self.dtype or xs[0].dtype
+        acc = jnp.promote_types(dt, jnp.float32)
+        k = kernel.astype(dt)
+        y = None
+        off = 0
+        for x in xs:
+            c = x.shape[-1]
+            kb = jax.lax.slice(k, (off, 0), (off + c, self.features))
+            t = jax.lax.dot_general(x.astype(dt), kb, (((x.ndim - 1,), (0,)),
+                                                       ((), ())),
+                                    preferred_element_type=acc)
+            y = t if y is None else y + t
+            off += c
+        return (y + bias.astype(acc)).astype(dt)
 
 
 class BatchNorm(nn.Module):
@@ -54,8 +98,19 @@ class BatchNorm(nn.Module):
         axes = tuple(i for i in range(x.ndim) if i != ax)
         bshape = [1] * x.ndim
         bshape[ax] = features
+        # stats in at-least-fp32 (promote, don't hard-cast: fp64 inputs keep
+        # fp64 stats so the fp64 parity controls aren't clamped to 1e-8).
+        # casts are CONDITIONAL: a same-dtype astype still shifts XLA fusion
+        # boundaries enough to move eval outputs by ~1e-4 at frustum depth
+        # (caught by test_frustum_eval_parity), so fp32 inputs must trace the
+        # exact graph they always did.
+        sdt = jnp.promote_types(x.dtype, jnp.float32)
+
+        def to(a, dt=sdt):
+            return a if a.dtype == dt else a.astype(dt)
+
         if train:
-            xf = x.astype(jnp.float32)
+            xf = to(x)
             mean = jnp.mean(xf, axis=axes)
             var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
             if not self.is_initializing():
@@ -64,26 +119,38 @@ class BatchNorm(nn.Module):
                     n *= x.shape[i]
                 unbiased = var * (n / max(n - 1, 1))
                 m = self.momentum
-                ra_mean.value = (1 - m) * ra_mean.value + m * mean
-                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+                ra_mean.value = to((1 - m) * ra_mean.value + m * mean,
+                                   jnp.float32)
+                ra_var.value = to((1 - m) * ra_var.value + m * unbiased,
+                                  jnp.float32)
         else:
-            mean, var = ra_mean.value, ra_var.value
+            mean, var = to(ra_mean.value), to(ra_var.value)
 
-        y = ((x.astype(jnp.float32) - mean.reshape(bshape))
+        y = ((to(x) - mean.reshape(bshape))
              * jax.lax.rsqrt(var.reshape(bshape) + self.epsilon))
-        y = y * scale.reshape(bshape) + bias.reshape(bshape)
+        y = y * to(scale.reshape(bshape)) + to(bias.reshape(bshape))
         return y.astype(self.dtype or x.dtype)
 
 
 class SharedMLP(nn.Module):
+    """x may be a single [..., C] array or a LIST of them: a list means
+    "the channel concat of these", routed through SplitDense so the concat
+    is never materialized (explicit names keep the param tree identical)."""
+
     out_channels: Sequence[int]
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        for oc in self.out_channels:
-            x = nn.Dense(int(oc), dtype=self.dtype)(x)
-            x = BatchNorm(dtype=self.dtype)(x, train=train)
+        for i, oc in enumerate(self.out_channels):
+            if i == 0 and isinstance(x, (list, tuple)):
+                x = SplitDense(int(oc), dtype=self.dtype,
+                               name=f"Dense_{i}")(x)
+            else:
+                x = nn.Dense(int(oc), dtype=self.dtype,
+                             name=f"Dense_{i}")(x)
+            x = BatchNorm(dtype=self.dtype, name=f"BatchNorm_{i}")(
+                x, train=train)
             x = nn.relu(x)
         return x
 

@@ -31,16 +31,20 @@ def _fps_single(coords: jnp.ndarray, num_samples: int):
     """coords [N, 3] -> indices [M] int32. Mirrors sampling.cu:104-166."""
     n = coords.shape[0]
 
+    # distances in the coords dtype (not hard f32): under x64 a f32 carry
+    # would be promoted by the f64 distance update and break the loop carry
+    ddt = coords.dtype
+
     def body(j, state):
         indices, min_d2, last = state
-        d2 = jnp.sum((coords - coords[last]) ** 2, axis=-1)
+        d2 = jnp.sum((coords - coords[last]) ** 2, axis=-1).astype(ddt)
         min_d2 = jnp.minimum(min_d2, d2)
         nxt = jnp.argmax(min_d2).astype(jnp.int32)
         indices = indices.at[j].set(nxt)
         return indices, min_d2, nxt
 
     indices0 = jnp.zeros((num_samples,), dtype=jnp.int32)
-    min_d2_0 = jnp.full((n,), 1e38, dtype=jnp.float32)
+    min_d2_0 = jnp.full((n,), 1e38, dtype=ddt)
     indices, _, _ = jax.lax.fori_loop(
         1, num_samples, body, (indices0, min_d2_0, jnp.int32(0))
     )

@@ -358,6 +358,74 @@ def test_full_model_grad_parity(name, monkeypatch):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("name", ["pvcnn_shapenet", "pvcnn2_s3dis"])
+def test_full_model_grad_parity_fp64(name, monkeypatch):
+    """fp64 CONTROL for the fp32 gradient-parity bounds above: with both
+    frameworks in double precision (weights first rounded to fp32 so the two
+    sides start bit-identical) the kink/argmax flips the fp32 test tolerates
+    must vanish and the residual must collapse to reduction-order noise.
+    A structural VJP defect would NOT shrink with precision — so this test
+    pins the fp32 tolerances as fp-noise allowances, not bug headroom."""
+    import flax.linen as nn
+
+    monkeypatch.setattr(nn.Dropout, "__call__",
+                        lambda self, x, deterministic=None, rng=None: x)
+    case = CASES[name]
+    twin = tw.randomize(case["twin"](), seed=hash(name) % 2**31)
+    twin = twin.float().double()
+    twin.train()
+    for mod in twin.modules():
+        if isinstance(mod, torch.nn.Dropout):
+            mod.eval()
+    x = case["input"]().double()
+    num_classes = 10 if name == "pvcnn_shapenet" else 13
+    targets = torch.from_numpy(
+        np.random.RandomState(3).randint(0, num_classes, (B, N)))
+    out = twin(x)
+    loss_t = torch.nn.functional.cross_entropy(out, targets)
+    loss_t.backward()
+    named = dict(twin.named_parameters())
+    grad_state = {
+        k: (named[k].grad if k in named and named[k].grad is not None
+            else torch.zeros_like(v, dtype=torch.float64)).numpy()
+        for k, v in twin.state_dict().items()}
+    state = tw.state_dict_numpy(twin)
+
+    from pvcnn_tpu import ops
+
+    with jax.enable_x64():
+        model = case["flax"]()
+        xs = jnp.asarray(x.numpy().transpose(0, 2, 1))
+        assert xs.dtype == jnp.float64
+        variables = _import_into(model, xs, state, case["mapping"]())
+        labels = jnp.asarray(targets.numpy())
+
+        def loss_fn(p):
+            logits, _ = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]}, xs,
+                train=True, rngs=RNGS, mutable=["batch_stats"])
+            return ops.cross_entropy(logits, labels)
+
+        loss_j, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        assert np.isclose(float(loss_j), float(loss_t), rtol=1e-6, atol=1e-9)
+
+        want_tree, _ = ci.import_state_dict(
+            grad_state, variables["params"], variables["batch_stats"],
+            case["mapping"]())
+        got = np.concatenate([np.ravel(np.asarray(g, np.float64))
+                              for g in jax.tree.leaves(grads)])
+        want = np.concatenate([np.ravel(np.asarray(g, np.float64))
+                               for g in jax.tree.leaves(want_tree)])
+    scale = np.abs(want).max()
+    # params are fp32-valued (both sides identically), compute is fp64: the
+    # only residual is fp32-parameter-storage rounding through fp64 math
+    flipped = np.abs(got - want) > 5e-3 * scale
+    assert flipped.mean() == 0.0, flipped.mean()
+    rel_l2 = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-30)
+    assert rel_l2 < 1e-5, rel_l2
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(FRUSTUM_CASES))
 def test_frustum_eval_parity(name):
     case = FRUSTUM_CASES[name]

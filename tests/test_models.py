@@ -32,6 +32,45 @@ def rand_inputs(rng, channels):
     return jnp.asarray(x)
 
 
+class TestSplitDense:
+    def test_shared_mlp_list_equals_concat(self, rng):
+        """SharedMLP on a list of segments == SharedMLP on their concat:
+        identical param tree (checkpoints transfer), matching outputs and
+        gradients; a [B, 1, C] segment broadcasts like its tile."""
+        from pvcnn_tpu.nn.shared_mlp import SharedMLP
+
+        xs = [jnp.asarray(rng.randn(B, N, c).astype(np.float32))
+              for c in (4, 7, 16)]
+        glob = jnp.asarray(rng.randn(B, 1, 9).astype(np.float32))
+        cat = jnp.concatenate(xs + [jnp.tile(glob, (1, N, 1))], axis=-1)
+
+        mlp = SharedMLP([12, 8])
+        v_list = mlp.init(jax.random.PRNGKey(0), xs + [glob], train=False)
+        v_cat = mlp.init(jax.random.PRNGKey(0), cat, train=False)
+        assert (jax.tree_util.tree_structure(v_list)
+                == jax.tree_util.tree_structure(v_cat))
+        for a, b in zip(jax.tree.leaves(v_list), jax.tree.leaves(v_cat)):
+            assert a.shape == b.shape
+
+        with jax.default_matmul_precision("float32"):
+            y_list = mlp.apply(v_cat, xs + [glob], train=False)
+            y_cat = mlp.apply(v_cat, cat, train=False)
+            np.testing.assert_allclose(np.asarray(y_list), np.asarray(y_cat),
+                                       rtol=1e-5, atol=1e-5)
+
+            def loss_list(v):
+                return jnp.sum(mlp.apply(v, xs + [glob], train=False) ** 2)
+
+            def loss_cat(v):
+                return jnp.sum(mlp.apply(v, cat, train=False) ** 2)
+
+            g_list = jax.grad(loss_list)(v_cat)
+            g_cat = jax.grad(loss_cat)(v_cat)
+        for a, b in zip(jax.tree.leaves(g_list), jax.tree.leaves(g_cat)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+
 class TestShapeNetModels:
     def test_pvcnn(self, rng):
         model = shapenet.PVCNN(num_classes=NUM_CLASSES, num_shapes=NUM_SHAPES,

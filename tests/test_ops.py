@@ -135,6 +135,37 @@ class TestTrilinearDevoxelize:
         np.testing.assert_allclose(ana, want_g.reshape(ana.shape), rtol=1e-4,
                                    atol=1e-4)
 
+    def test_assume_sorted_matches_oracle(self, rng):
+        """assume_sorted=True on rows presorted by corner_base_bins: the
+        zero-gather fwd/bwd kernel paths (fwd needs the sorted-gather plan:
+        N % 256 == 0, R^3 % 512 == 0; bwd needs C <= 16) stay oracle-exact."""
+        b, n, c, r = 2, 512, 16, 16
+        grid = rng.randn(b, r, r, r, c).astype(np.float32)
+        nc = rng.uniform(0, r - 1, size=(b, n, 3)).astype(np.float32)
+        nc[0, 0] = [r - 1, r - 1, r - 1]     # exact boundary: collapsed corners
+        nc[0, 1] = [0, 0, 0]
+        base = np.asarray(ops.corner_base_bins(jnp.asarray(nc), r))
+        order = np.argsort(base, axis=1, kind="stable")
+        nc = np.take_along_axis(nc, order[..., None], axis=1)
+
+        with jax.default_matmul_precision("float32"):
+            got = np.asarray(ops.trilinear_devoxelize(
+                jnp.asarray(grid), jnp.asarray(nc), r, True))
+        want = oracles.trilinear_devoxelize(grid, nc)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+        w = rng.randn(b, n, c).astype(np.float32)
+
+        def f(x):
+            return jnp.sum(ops.trilinear_devoxelize(x, jnp.asarray(nc), r,
+                                                    True) * jnp.asarray(w))
+
+        with jax.default_matmul_precision("float32"):
+            ana = np.asarray(jax.grad(f)(jnp.asarray(grid)))
+        want_g = oracles.trilinear_devoxelize_grad(w, nc, r)
+        np.testing.assert_allclose(ana, want_g.reshape(ana.shape), rtol=1e-4,
+                                   atol=1e-4)
+
 
 class TestBallQuery:
     def test_matches_oracle(self, rng):

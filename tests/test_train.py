@@ -193,6 +193,126 @@ def test_dp_gradients_match_single_device():
     assert rel_l2 < 1e-2, rel_l2
 
 
+def test_presort_step_matches_unsorted():
+    """Trainer(presort=...) must train the SAME program: one step's loss and
+    updated params on a presorted batch match the plain trainer on the same
+    batch (point order is the only difference — every per-point op is
+    order-agnostic, so residuals are fp reduction-order noise only). Uses a
+    single-PVConv model at a shape where both assume_sorted kernel plans fit
+    (N % 256 == 0, R^3 % 512 == 0, C <= 16)."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from pvcnn_tpu.nn import PVConv
+
+    b, n, c_in, n_cls, r = 2, 512, 6, 5, 16
+
+    class TinyPV(nn.Module):
+        @nn.compact
+        def __call__(self, inputs, train=False, presorted=None):
+            coords = inputs[..., :3]
+            f, _ = PVConv(16, resolution=r)(inputs, coords, train=train,
+                                            precomputed=presorted)
+            return nn.Dense(n_cls)(f)
+
+    from pvcnn_tpu.train.trainer import presort_batch
+
+    rng = np.random.RandomState(0)
+    batch = (rng.randn(b, n, c_in).astype(np.float32),
+             rng.randint(0, n_cls, size=(b, n)))
+    # raw LOSS + GRADIENTS are the right comparison (see the DP test above:
+    # post-Adam params amplify reduction-order noise unboundedly)
+    results = []
+    with jax.default_matmul_precision("float32"):
+        tx, _ = Adam(1e-2)
+        for presort in (None, {"resolution": r, "normalize": True,
+                               "eps": 0.0}):
+            trainer = Trainer(TinyPV(), CrossEntropyLoss(), tx,
+                              mesh=pmesh.make_mesh(1), seed=0,
+                              presort=presort)
+            state = trainer.init_state(np.zeros((1, n, c_in), np.float32))
+            inputs, targets = pmesh.shard_batch(batch, trainer.mesh)
+            kw = {}
+            if presort is not None:
+                inputs, targets, pre = presort_batch(inputs, targets,
+                                                     **presort)
+                kw["presorted"] = pre
+
+            @jax.jit
+            def loss_and_grads(params, inputs, targets):
+                def loss_fn(p):
+                    variables = {"params": p,
+                                 "batch_stats": state.batch_stats}
+                    outputs, _ = trainer.model.apply(
+                        variables, inputs, train=True,
+                        rngs=trainer._rngs(jax.random.PRNGKey(3)),
+                        mutable=["batch_stats"], **kw)
+                    return trainer.criterion(outputs, targets)
+
+                return jax.value_and_grad(loss_fn)(params)
+
+            loss, grads = loss_and_grads(state.params, inputs, targets)
+            results.append((float(loss), jax.device_get(grads)))
+    (loss_u, g_u), (loss_s, g_s) = results
+    assert np.isclose(loss_u, loss_s, rtol=1e-5, atol=1e-6), (loss_u, loss_s)
+    a_all = np.concatenate([np.ravel(np.asarray(x, np.float64))
+                            for x in jax.tree.leaves(g_u)])
+    b_all = np.concatenate([np.ravel(np.asarray(x, np.float64))
+                            for x in jax.tree.leaves(g_s)])
+    scale = np.abs(b_all).max()
+    np.testing.assert_allclose(a_all, b_all, atol=1e-4 * scale)
+    rel_l2 = np.linalg.norm(a_all - b_all) / np.linalg.norm(b_all)
+    assert rel_l2 < 1e-4, rel_l2
+
+
+@pytest.mark.slow
+def test_dp_gradients_match_single_device_fp64():
+    """fp64 CONTROL for the fp32 DP bounds above: in double precision the
+    8-device-vs-1-device residual must collapse to reduction-order noise
+    (no kink flips), pinning the fp32 atol as fp-noise allowance, not bug
+    headroom. A real DP defect (per-shard BN, missing psum) would not shrink
+    with precision."""
+    model = s3dis.PVCNN(num_classes=NUM_CLASSES, extra_feature_channels=6,
+                        width_multiplier=0.125)
+    rng = np.random.RandomState(0)
+    batch = (rng.randn(B, N, C_IN).astype(np.float64),
+             rng.randint(0, NUM_CLASSES, size=(B, N)))
+    with jax.enable_x64():
+        results = []
+        for n_dev in (8, 1):
+            tx, _ = Adam(1e-2)
+            trainer = Trainer(model, CrossEntropyLoss(), tx,
+                              mesh=pmesh.make_mesh(n_dev), seed=0)
+            state = trainer.init_state(np.zeros((1, N, C_IN), np.float64))
+            inputs, targets = pmesh.shard_batch(batch, trainer.mesh)
+
+            @jax.jit
+            def loss_and_grads(state, inputs, targets, rng):
+                def loss_fn(params):
+                    variables = {"params": params,
+                                 "batch_stats": state.batch_stats}
+                    outputs, _ = trainer.model.apply(
+                        variables, inputs, train=True,
+                        rngs=trainer._rngs(rng), mutable=["batch_stats"])
+                    return trainer.criterion(outputs, targets)
+
+                return jax.value_and_grad(loss_fn)(state.params)
+
+            loss, grads = loss_and_grads(state, inputs, targets,
+                                         jax.random.PRNGKey(7))
+            results.append((float(loss), jax.device_get(grads)))
+    (loss8, g8), (loss1, g1) = results
+    assert np.isclose(loss8, loss1, rtol=1e-12, atol=1e-13)
+    a_all = np.concatenate([np.ravel(np.asarray(x, np.float64))
+                            for x in jax.tree.leaves(g8)])
+    b_all = np.concatenate([np.ravel(np.asarray(x, np.float64))
+                            for x in jax.tree.leaves(g1)])
+    global_scale = np.abs(b_all).max()
+    np.testing.assert_allclose(a_all, b_all, atol=1e-9 * global_scale)
+    rel_l2 = np.linalg.norm(a_all - b_all) / np.linalg.norm(b_all)
+    assert rel_l2 < 1e-9, rel_l2
+
+
 def test_device_subset_mesh():
     """--devices '1,3-5' style subset selection builds the mesh over exactly
     those devices (reference: utils/device.py:6-21)."""
