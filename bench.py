@@ -75,21 +75,29 @@ def _build(config: str, dtype: str):
 
     rng = np.random.RandomState(0)
     tx, _ = Adam(1e-3)
+    # presort: train-step batch sort by the first PVConv's devox base bin —
+    # the assume_sorted kernel paths then run with zero permutation gathers
+    # (train/trainer.py::presort_batch). normalize must match the model's
+    # first PVConv (ShapeNet PVCNN builds with normalize=False).
+    presort = None
     if config == "shapenet_pvcnn_0p25":
         from pvcnn_tpu.models.shapenet import PVCNN
         model = PVCNN(num_classes=50, num_shapes=16, extra_feature_channels=3,
                       width_multiplier=0.25, dtype=dtype)
         b, n, in_ch, n_cls = (64 if dtype == "bfloat16" else 32), NUM_POINTS, 22, 50
+        presort = {"resolution": 32, "normalize": False}
     elif config == "shapenet_pvcnn_1":
         from pvcnn_tpu.models.shapenet import PVCNN
         model = PVCNN(num_classes=50, num_shapes=16, extra_feature_channels=3,
                       width_multiplier=1.0, dtype=dtype)
         b, n, in_ch, n_cls = 32, NUM_POINTS, 22, 50
+        presort = {"resolution": 32, "normalize": False}
     elif config == "s3dis_pvcnn_1":
         from pvcnn_tpu.models.s3dis import PVCNN
         model = PVCNN(num_classes=13, extra_feature_channels=6,
                       width_multiplier=1.0, dtype=dtype)
         b, n, in_ch, n_cls = 32, 4096, 9, 13
+        presort = {"resolution": 32, "normalize": True}
     elif config == "s3dis_pvcnn2_1":
         from pvcnn_tpu.models.s3dis import PVCNN2
         model = PVCNN2(num_classes=13, extra_feature_channels=6,
@@ -99,7 +107,9 @@ def _build(config: str, dtype: str):
         return _build_frustum(dtype, rng, tx)
     else:
         raise ValueError(config)
-    trainer = Trainer(model, CrossEntropyLoss(), tx)
+    if os.environ.get("PVCNN_TPU_PRESORT", "1") == "0":
+        presort = None
+    trainer = Trainer(model, CrossEntropyLoss(), tx, presort=presort)
     inputs = rng.randn(b, n, in_ch).astype(np.float32)
     labels = rng.randint(0, n_cls, size=(b, n))
     return trainer, inputs, labels, b, n

@@ -11,3 +11,6 @@ configs.model.extra_feature_channels = 3
 configs.train.num_epochs = 250
 configs.train.scheduler = Config(CosineAnnealingLR)
 configs.train.scheduler.t_max = configs.train.num_epochs
+# train-step batch presort by the first PVConv's (R=32, normalize=False)
+# devox base bin: zero-gather sorted kernels, see trainer.presort_batch
+configs.train.presort = {"resolution": 32, "normalize": False}

@@ -71,11 +71,34 @@ class PVConv(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, features, coords, train: bool = False):
-        """features [B, N, C], coords [B, N, 3] -> (fused [B, N, C'], coords)."""
-        grid, norm_coords = Voxelization(
-            self.resolution, normalize=self.normalize, eps=self.eps
-        )(features, coords)
+    def __call__(self, features, coords, train: bool = False,
+                 precomputed=None):
+        """features [B, N, C], coords [B, N, 3] -> (fused [B, N, C'], coords).
+
+        precomputed: optional norm_coords [B, N, 3] for THIS resolution,
+        with rows presorted by ops.corner_base_bins(norm_coords, resolution)
+        (the trainer presort, train/trainer.py::presort_batch). Passing the
+        values through — rather than recomputing them from the permuted
+        coords — is what makes the sortedness promise exact: normalize's
+        per-cloud mean/max reductions are not bit-stable under permutation.
+        """
+        if precomputed is None:
+            grid, norm_coords = Voxelization(
+                self.resolution, normalize=self.normalize, eps=self.eps
+            )(features, coords)
+            assume_sorted = False
+        else:
+            norm_coords = precomputed
+            # voxel index math in [B, 3, N] layout (points on lanes);
+            # round(norm) == normalize_coords' vox_coords elementwise
+            nt = jnp.swapaxes(norm_coords, 1, 2)
+            rr = int(self.resolution)
+            flat = (jnp.round(nt[:, 0]).astype(jnp.int32) * (rr * rr)
+                    + jnp.round(nt[:, 1]).astype(jnp.int32) * rr
+                    + jnp.round(nt[:, 2]).astype(jnp.int32))
+            grid = ops.avg_voxelize(features, None, self.resolution,
+                                    flat_idx=flat)
+            assume_sorted = True
 
         k = int(self.kernel_size)
         r = int(self.resolution)
@@ -109,7 +132,9 @@ class PVConv(nn.Module):
         if use_rows:
             grid = jnp.swapaxes(grid, 1, 2).reshape(b, r, r, r, co)
 
-        voxel_features = ops.trilinear_devoxelize(grid, norm_coords, self.resolution)
+        voxel_features = ops.trilinear_devoxelize(grid, norm_coords,
+                                                  self.resolution,
+                                                  assume_sorted)
         point_features = SharedMLP([self.out_channels], dtype=self.dtype)(
             features, train=train
         )

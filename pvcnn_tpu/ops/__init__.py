@@ -7,7 +7,7 @@ channel-last [B, N, C] layout.
 """
 
 from pvcnn_tpu.ops.voxelize import avg_voxelize, normalize_coords
-from pvcnn_tpu.ops.devoxelize import trilinear_devoxelize
+from pvcnn_tpu.ops.devoxelize import corner_base_bins, trilinear_devoxelize
 from pvcnn_tpu.ops.neighbors import ball_query, grouping
 from pvcnn_tpu.ops.interpolate import nearest_neighbor_interpolate, three_nn
 from pvcnn_tpu.ops.sampling import (furthest_point_sample,
@@ -16,7 +16,8 @@ from pvcnn_tpu.ops.sampling import (furthest_point_sample,
 from pvcnn_tpu.ops.losses import cross_entropy, huber_loss, kl_loss
 
 __all__ = [
-    "avg_voxelize", "normalize_coords", "trilinear_devoxelize", "ball_query",
+    "avg_voxelize", "normalize_coords", "trilinear_devoxelize",
+    "corner_base_bins", "ball_query",
     "grouping", "nearest_neighbor_interpolate", "three_nn", "furthest_point_sample",
     "furthest_point_sample_indices", "gather", "logits_mask", "logits_mask_indices", "cross_entropy",
     "huber_loss", "kl_loss",

@@ -39,7 +39,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-__all__ = ["trilinear_devoxelize"]
+__all__ = ["trilinear_devoxelize", "corner_base_bins"]
 
 
 def _corners(norm_coords: jnp.ndarray, r: int):
@@ -68,9 +68,46 @@ def _corners(norm_coords: jnp.ndarray, r: int):
     return idx8, w8
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _corners_t(norm_t: jnp.ndarray, r: int):
+    """Transposed `_corners`: norm_t [B, 3, N] -> (idx8_t [B, 8, N] int32,
+    w8_t [B, 8, N] f32). Same math, but with points on the LANE axis: the
+    [B, N, 3/8]-minor layouts leave 97% of vector lanes idle, which turned
+    this elementwise chain into ~2 ms of standalone passes when the presorted
+    kernel paths stopped fusing it into permutation gathers (profiled)."""
+    lo_f = jnp.floor(norm_t)
+    frac = norm_t - lo_f
+    lo = lo_f.astype(jnp.int32)
+    hi = lo + (frac > 0).astype(jnp.int32)
+    x0, y0, z0 = lo[:, 0], lo[:, 1], lo[:, 2]
+    x1, y1, z1 = hi[:, 0], hi[:, 1], hi[:, 2]
+    fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
+    gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
+    r2 = r * r
+    idx8_t = jnp.stack([
+        x0 * r2 + y0 * r + z0, x0 * r2 + y0 * r + z1,
+        x0 * r2 + y1 * r + z0, x0 * r2 + y1 * r + z1,
+        x1 * r2 + y0 * r + z0, x1 * r2 + y0 * r + z1,
+        x1 * r2 + y1 * r + z0, x1 * r2 + y1 * r + z1,
+    ], axis=1)
+    w8_t = jnp.stack([
+        gx * gy * gz, gx * gy * fz, gx * fy * gz, gx * fy * fz,
+        fx * gy * gz, fx * gy * fz, fx * fy * gz, fx * fy * fz,
+    ], axis=1)
+    return idx8_t, w8_t
+
+
+def corner_base_bins(norm_coords: jnp.ndarray, r: int):
+    """[B, N, 3] -> [B, N] int32 flat BASE-corner bin of each point — the key
+    `assume_sorted` callers must have sorted rows by (exactly `_corners`'
+    slot-0 index; factored out so the trainer presort and the kernels can
+    never disagree)."""
+    lo = jnp.floor(norm_coords).astype(jnp.int32)
+    return lo[..., 0] * (r * r) + lo[..., 1] * r + lo[..., 2]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def trilinear_devoxelize(grid: jnp.ndarray, norm_coords: jnp.ndarray,
-                         resolution: int):
+                         resolution: int, assume_sorted: bool = False):
     """Interpolate voxel features back to points.
 
     Args:
@@ -78,11 +115,18 @@ def trilinear_devoxelize(grid: jnp.ndarray, norm_coords: jnp.ndarray,
       norm_coords: [B, N, 3] float grid coordinates in [0, R-1] (from
                    `normalize_coords`; non-differentiable like the reference).
       resolution:  R.
+      assume_sorted: static promise that rows are sorted along N by
+                   `corner_base_bins(norm_coords, resolution)` (the trainer's
+                   presort, train/trainer.py). The sorted Pallas kernels then
+                   run with NO sort and NO permutation row-gathers (forward
+                   payload, output un-permute, and backward payload gathers
+                   are each ~0.75-0.9 ms dispatch-bound at 131K rows).
+                   Results are garbage if the promise is false.
 
     Returns:
       [B, N, C] per-point features.
     """
-    out, _ = _devox_fwd(grid, norm_coords, resolution)
+    out, _ = _devox_fwd(grid, norm_coords, resolution, assume_sorted)
     return out
 
 
@@ -182,15 +226,50 @@ def _sorted_gather_fwd(grid, idx8, w8, r3):
     return out.astype(grid.dtype)
 
 
-def _devox_fwd(grid, norm_coords, resolution):
+def _presorted_gather_fwd(grid, idx8_t, w8_t, r3):
+    """assume_sorted forward: rows already sorted by base bin — run the
+    sorted gather kernel directly (no sort, no payload permute, no output
+    un-permute; corners arrive in the kernel's native [B, 8, N] layout).
+    None if the kernel's plan doesn't fit."""
+    from pvcnn_tpu.ops.pallas.sorted_gather import (sorted_devox_gather,
+                                                    sorted_gather_plan)
+    from pvcnn_tpu.ops.pallas.sorted_scatter import bin_starts
+
+    b, _, n = idx8_t.shape
+    c = grid.shape[-1]
+    r = grid.shape[1]
+    offs = _corner_offsets(r)
+    plan = sorted_gather_plan(r3, n, c, offs[-1], grid.dtype, b)
+    if plan is None:
+        return None
+    base = idx8_t[:, 0, :]
+    starts = bin_starts(base, r3, plan[0])
+    out = sorted_devox_gather(grid.reshape(b, r3, c), base,
+                              w8_t.astype(jnp.float32), starts, r3, offs)
+    return out.astype(grid.dtype)
+
+
+def _devox_fwd(grid, norm_coords, resolution, assume_sorted=False):
     r = int(resolution)
     b, _, _, _, c = grid.shape
     assert grid.shape[1] == r
     n = norm_coords.shape[1]
     r3 = r * r * r
-    idx8, w8 = _corners(norm_coords, r)
     interpret = os.environ.get("PVCNN_TPU_PALLAS_INTERPRET") == "1"
     on_tpu = interpret or jax.default_backend() == "tpu"
+    if assume_sorted and on_tpu and c % 8 == 0 and r3 % 128 == 0:
+        # transposed corner math (one small relayout of norm_coords); the
+        # residuals are the transposed forms — _devox_bwd's assume_sorted
+        # trace expects them
+        idx8_t, w8_t = _corners_t(jnp.swapaxes(norm_coords, 1, 2), r)
+        out = _presorted_gather_fwd(grid, idx8_t, w8_t, r3)
+        if out is not None:
+            return out, (idx8_t, w8_t)
+    idx8, w8 = _corners(norm_coords, r)
+    if assume_sorted:
+        # plan didn't fit: fall through to the general formulations, which
+        # are order-agnostic; bwd keys on residual layout ([B, N, 8] here)
+        pass
     sorted_mode = os.environ.get("PVCNN_TPU_DEVOX_FWD_SORTED", "auto")
     # the FORWARD's sorted-gather threshold is lower than the backward's:
     # with the flat-rows conv branch (round 3) the sorted gather also beats
@@ -352,7 +431,32 @@ def _packed_scatter_call(values8, idx8, r3, offs, num_corners, c, md):
                               offs[:num_corners], c, md)
 
 
-def _devox_bwd(resolution, residuals, g):
+def _presorted_pallas_scatter(g, w8_t, idx8_t, r3, offs, md):
+    """assume_sorted backward, full-pack (K=8) only: the cotangent rows arrive
+    in base-bin-sorted order (the network runs in the presorted point order),
+    so the scatter kernel takes [g, w8]-built values directly — no sort, no
+    payload permutation gather; values are built in the kernel's native
+    [B, KC, rows] layout (points on lanes). None if the plan doesn't fit
+    (grouped packs would interleave two sorted halves, breaking global
+    sortedness — callers fall through to the general paths)."""
+    from pvcnn_tpu.ops.pallas.sorted_scatter import (bin_starts,
+                                                     sorted_scatter_add,
+                                                     sorted_scatter_plan)
+
+    b, n, c = g.shape
+    plan = sorted_scatter_plan(r3, n, 8 * c, c, offs[-1], md, b)
+    if plan is None:
+        return None
+    base = idx8_t[:, 0, :]
+    starts = bin_starts(base, r3, plan[0])
+    g_t = jnp.swapaxes(g, 1, 2)                              # [B, C, N]
+    values_t = (w8_t[:, :, None, :].astype(g.dtype)
+                * g_t[:, None, :, :]).reshape(b, 8 * c, n)
+    return sorted_scatter_add(values_t, base, starts, r3, offs, c, md,
+                              values_transposed=True)
+
+
+def _devox_bwd(resolution, assume_sorted, residuals, g):
     import os
 
     from pvcnn_tpu.ops.pallas.scatter import _mm_dtype, pallas_scatter_supported
@@ -366,6 +470,22 @@ def _devox_bwd(resolution, residuals, g):
     offs = _corner_offsets(r)
     interpret = os.environ.get("PVCNN_TPU_PALLAS_INTERPRET") == "1"
     on_tpu = interpret or jax.default_backend() == "tpu"
+    if assume_sorted and on_tpu and c % 8 == 0 and r3 % 128 == 0:
+        # did the fwd take the presorted branch? re-derive its plan decision
+        # (same inputs -> same answer); if yes the residuals are the
+        # TRANSPOSED [B, 8, N] forms
+        from pvcnn_tpu.ops.pallas.sorted_gather import sorted_gather_plan
+        if sorted_gather_plan(r3, n, c, offs[-1], g.dtype, b) is not None:
+            idx8_t, w8_t = idx8, w8
+            if c <= 16:
+                dflat = _presorted_pallas_scatter(g, w8_t, idx8_t, r3, offs,
+                                                  md)
+                if dflat is not None:
+                    return (dflat.reshape(b, r, r, r, c).astype(g.dtype),
+                            None)
+            # general paths below expect [B, N, 8]
+            idx8 = jnp.swapaxes(idx8_t, 1, 2)
+            w8 = jnp.swapaxes(w8_t, 1, 2)
     k = 8 if c <= 16 else (4 if c <= 32 else 2)
     # first choice: the SORTED corner-packed kernel — rows sorted by bin, each
     # output tile matmuls only its own row window (ops/pallas/sorted_scatter.py,

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["sorted_scatter_add", "sorted_scatter_plan", "sort_rows"]
+__all__ = ["sorted_scatter_add", "sorted_scatter_plan", "sort_rows", "bin_starts"]
 
 
 def _interpret() -> bool:
@@ -153,6 +153,19 @@ def _sorted_kernel(mm_dtype, precision, tile_v, n_warm, n_slots, offsets, c,
     jax.lax.fori_loop(0, (total + u - 1) // u, step, 0)
 
 
+def bin_starts(idx_s: jnp.ndarray, num_bins: int, tile_v: int):
+    """Tile row-window bounds for ALREADY-sorted bins: starts[b, t] = #rows
+    with bin < t*tile_v ([B, n_tiles+1]). searchsorted lowers to a per-batch
+    while-loop of gathers on TPU (~1 ms/step in the headline profile); a
+    broadcast compare + row reduce is one cheap fusion."""
+    b = idx_s.shape[0]
+    n_tiles = num_bins // tile_v
+    bounds = jnp.arange(1, n_tiles + 1, dtype=jnp.int32) * tile_v
+    starts = jnp.sum((idx_s[:, :, None] < bounds[None, None, :])
+                     .astype(jnp.int32), axis=1)
+    return jnp.concatenate([jnp.zeros((b, 1), jnp.int32), starts], axis=1)
+
+
 def sort_rows(base_idx: jnp.ndarray, num_bins: int, tile_v: int):
     """Sort rows by bin id. base_idx [B, rows] -> (idx_s, perm, starts) with
     starts[b, t] = first sorted row whose bin >= t*tile_v ([B, n_tiles+1])."""
@@ -161,20 +174,16 @@ def sort_rows(base_idx: jnp.ndarray, num_bins: int, tile_v: int):
         base_idx.astype(jnp.int32),
         jnp.broadcast_to(jnp.arange(rows, dtype=jnp.int32), (b, rows)),
         dimension=1)
-    n_tiles = num_bins // tile_v
-    # starts[b, t] = #rows with bin < t*tile_v. searchsorted lowers to a
-    # per-batch while-loop of gathers on TPU (~1 ms/step in the headline
-    # profile); a broadcast compare + row reduce is one cheap fusion.
-    bounds = jnp.arange(1, n_tiles + 1, dtype=jnp.int32) * tile_v
-    starts = jnp.sum((idx_s[:, :, None] < bounds[None, None, :])
-                     .astype(jnp.int32), axis=1)
-    starts = jnp.concatenate([jnp.zeros((b, 1), jnp.int32), starts], axis=1)
-    return idx_s, perm, starts
+    return idx_s, perm, bin_starts(idx_s, num_bins, tile_v)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def _sorted_scatter(values_s, idx_s, starts, num_bins, offsets, c, mm_dtype):
-    b, rows, kc = values_s.shape
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _sorted_scatter(values_s, idx_s, starts, num_bins, offsets, c, mm_dtype,
+                    values_transposed=False):
+    if values_transposed:                    # [B, kc, rows] — kernel-native
+        b, kc, rows = values_s.shape
+    else:
+        b, rows, kc = values_s.shape
     plan = sorted_scatter_plan(num_bins, rows, kc, c, max(offsets), mm_dtype,
                                b)
     assert plan is not None, (num_bins, rows, kc, c)
@@ -207,13 +216,14 @@ def _sorted_scatter(values_s, idx_s, starts, num_bins, offsets, c, mm_dtype):
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(starts, idx_s[:, :, None],
-      jnp.transpose(values_s, (0, 2, 1)).astype(mm_dtype))
+      (values_s if values_transposed
+       else jnp.transpose(values_s, (0, 2, 1))).astype(mm_dtype))
     return jnp.transpose(out, (0, 2, 1))                     # [B, bins, C]
 
 
 def sorted_scatter_add(values_s: jnp.ndarray, idx_s: jnp.ndarray,
                        starts: jnp.ndarray, num_bins: int, offsets, c: int,
-                       mm_dtype=None):
+                       mm_dtype=None, values_transposed: bool = False):
     """Corner-packed scatter-add of PRE-SORTED rows (see `sort_rows`).
 
     values_s: [B, rows, K*C] — row r's channel block k*C:(k+1)*C is scattered
@@ -229,4 +239,4 @@ def sorted_scatter_add(values_s: jnp.ndarray, idx_s: jnp.ndarray,
     from pvcnn_tpu.ops.pallas.scatter import _mm_dtype
 
     return _sorted_scatter(values_s, idx_s, starts, num_bins, tuple(offsets),
-                           c, mm_dtype or _mm_dtype())
+                           c, mm_dtype or _mm_dtype(), values_transposed)

@@ -122,13 +122,18 @@ _avg_voxelize_flat.defvjp(
     lambda f, i, r3: _avg_voxelize_fwd(f, i, r3), _avg_voxelize_bwd)
 
 
-def avg_voxelize(features: jnp.ndarray, vox_coords: jnp.ndarray, resolution: int):
+def avg_voxelize(features: jnp.ndarray, vox_coords: jnp.ndarray,
+                 resolution: int, flat_idx: jnp.ndarray | None = None):
     """Scatter-mean point features onto a dense voxel grid.
 
     Args:
       features:   [B, N, C] float point features.
-      vox_coords: [B, N, 3] int32 integer voxel coordinates in [0, resolution-1].
+      vox_coords: [B, N, 3] int32 integer voxel coordinates in [0, resolution-1]
+                  (ignored — may be None — when flat_idx is given).
       resolution: R, the grid resolution.
+      flat_idx:   optional precomputed [B, N] int32 flat voxel index — callers
+                  holding coords in a lane-friendlier layout (nn/pvconv.py's
+                  presorted path) compute it themselves.
 
     Returns:
       [B, R, R, R, C] voxel grid; empty voxels are zero. Flat voxel index is
@@ -137,11 +142,11 @@ def avg_voxelize(features: jnp.ndarray, vox_coords: jnp.ndarray, resolution: int
     b, n, c = features.shape
     r = int(resolution)
     r3 = r * r * r
-    vox_coords = vox_coords.astype(jnp.int32)
-    flat_idx = (
-        vox_coords[..., 0] * (r * r) + vox_coords[..., 1] * r + vox_coords[..., 2]
-    )
-    means = _avg_voxelize_flat(features, flat_idx, r3)
+    if flat_idx is None:
+        vox_coords = vox_coords.astype(jnp.int32)
+        flat_idx = (vox_coords[..., 0] * (r * r) + vox_coords[..., 1] * r
+                    + vox_coords[..., 2])
+    means = _avg_voxelize_flat(features, flat_idx.astype(jnp.int32), r3)
     return means.reshape(b, r, r, r, c)
 
 

@@ -22,7 +22,7 @@ import numpy as np
 from pvcnn_tpu.parallel import mesh as pmesh
 from pvcnn_tpu.train.optim import set_learning_rate
 
-__all__ = ["TrainState", "Trainer", "DMLState", "DMLTrainer",
+__all__ = ["TrainState", "Trainer", "DMLState", "DMLTrainer", "presort_batch",
            "save_checkpoint", "load_checkpoint"]
 
 
@@ -39,13 +39,61 @@ def _split_batch(batch):
     return inputs, targets
 
 
+def presort_batch(inputs, targets, resolution: int, normalize: bool = True,
+                  eps: float = 0.0):
+    """Sort each cloud's points by the first PVConv's devoxelize BASE-corner
+    bin, so the devox sorted kernels run with zero permutation gathers
+    (ops/devoxelize.py assume_sorted). One packed non-differentiable row
+    gather replaces three dispatch-bound ones per step (~-1.6 ms at the
+    headline shape); every per-point op downstream is order-agnostic, and the
+    per-point labels ride along as an extra channel (exact in f32 for any
+    realistic class count), so the loss is unchanged up to fp reduction order.
+
+    Returns (inputs_s, targets_s, norm_s) — norm_s feeds the model's
+    `presorted=` kwarg and is passed THROUGH (not recomputed from permuted
+    coords) because normalize's per-cloud reductions are not bit-stable
+    under permutation, and the sortedness promise must be exact. The sort
+    key is computed in [B, 3, N] layout (points on lanes; [B, N, 3]-minor
+    elementwise passes idle 97% of vector lanes — profiled at ~0.3 ms each).
+    """
+    from pvcnn_tpu import ops
+
+    assert not isinstance(inputs, dict) and targets.ndim == 2, \
+        "presort supports (features [B,N,C], labels [B,N]) batches"
+    coords = jax.lax.stop_gradient(inputs[..., :3])
+    _, norm = ops.normalize_coords(coords, resolution, normalize=normalize,
+                                   eps=eps)
+    lo = jnp.floor(jnp.swapaxes(norm, 1, 2)).astype(jnp.int32)  # [B, 3, N]
+    base = (lo[:, 0] * (resolution * resolution) + lo[:, 1] * resolution
+            + lo[:, 2])                 # == ops.corner_base_bins (exactly)
+    b, n = base.shape
+    _, perm = jax.lax.sort_key_val(
+        base, jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n)),
+        dimension=1)
+    payload = jnp.concatenate(
+        [inputs, norm, targets[..., None].astype(inputs.dtype)], axis=-1)
+    pay = jax.lax.stop_gradient(
+        jnp.take_along_axis(payload, perm[..., None], axis=1))
+    c = inputs.shape[-1]
+    inputs_s = pay[..., :c]
+    norm_s = pay[..., c:c + 3]
+    targets_s = pay[..., -1].astype(targets.dtype)
+    return inputs_s, targets_s, norm_s
+
+
 class Trainer:
     """Owns the jitted step functions for one (model, criterion, optimizer)."""
 
     def __init__(self, model, criterion, tx, mesh=None, seed: int = 0,
                  has_sample_rng: bool = False,
                  eval_matmul_precision: str = "float32",
-                 tensor_parallel: bool = False):
+                 tensor_parallel: bool = False,
+                 presort: Optional[dict] = None):
+        # presort: {"resolution": R0, "normalize": bool, "eps": float} of the
+        # model's FIRST PVConv — the train step then sorts each cloud by that
+        # layer's devox base bin (presort_batch) and the model must accept
+        # `presorted=`. Training-only: eval keeps input point order.
+        self.presort = presort
         # tensor_parallel: shard wide kernels over the mesh's `model` axis
         # (parallel/mesh.py partition_params); off by default — every reference
         # config fits one chip, data parallelism is the parity story
@@ -96,12 +144,17 @@ class Trainer:
 
     def _train_step_impl(self, state: TrainState, batch, rng):
         inputs, targets = _split_batch(batch)
+        apply_kwargs = {}
+        if self.presort is not None:
+            inputs, targets, pre = presort_batch(inputs, targets,
+                                                 **self.presort)
+            apply_kwargs["presorted"] = pre
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             outputs, mutated = self.model.apply(
                 variables, inputs, train=True, rngs=self._rngs(rng),
-                mutable=["batch_stats"])
+                mutable=["batch_stats"], **apply_kwargs)
             return self.criterion(outputs, targets), mutated["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -194,18 +247,37 @@ class Trainer:
 
     def predict(self, state: TrainState, inputs):
         """Eval-mode forward on a (possibly partial) numpy batch."""
+        outputs, true_bs = self._predict_device(state, inputs)
+        return pmesh.unpad(jax.device_get(outputs), true_bs)
+
+    def _predict_device(self, state: TrainState, inputs):
+        """Enqueue one eval step; returns (device outputs, true batch size)
+        WITHOUT fetching, so callers can overlap the next batch's compute
+        with this batch's host-side work."""
         padded, true_bs = pmesh.pad_batch(inputs, self.num_devices)
         padded = pmesh.shard_batch(padded, self.mesh)
         self.root_rng, rng = jax.random.split(self.root_rng)
-        outputs = self._eval_step(state, padded, rng)
-        return pmesh.unpad(jax.device_get(outputs), true_bs)
+        return self._eval_step(state, padded, rng), true_bs
 
     def evaluate(self, state: TrainState, loader, meters: dict):
-        for batch in loader:
-            inputs, targets = batch
-            outputs = self.predict(state, inputs)
+        """One-batch software pipeline: batch k's device_get + meter updates
+        run while batch k+1 computes on device (the per-batch synchronous
+        fetch otherwise serializes eval at PVCNN2 scale — the meters are
+        host numpy)."""
+        pending = None
+        for inputs, targets in loader:
+            enqueued = (self._predict_device(state, inputs), targets)
+            if pending is not None:
+                (out_dev, true_bs), tgt = pending
+                outputs = pmesh.unpad(jax.device_get(out_dev), true_bs)
+                for meter in meters.values():
+                    meter.update(outputs, tgt)
+            pending = enqueued
+        if pending is not None:
+            (out_dev, true_bs), tgt = pending
+            outputs = pmesh.unpad(jax.device_get(out_dev), true_bs)
             for meter in meters.values():
-                meter.update(outputs, targets)
+                meter.update(outputs, tgt)
         return {k: meter.compute() for k, meter in meters.items()}
 
 

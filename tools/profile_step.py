@@ -29,7 +29,9 @@ def main():
     model = PVCNN(num_classes=50, num_shapes=16, extra_feature_channels=3,
                   width_multiplier=0.25, dtype=DTYPE)
     tx, _ = Adam(1e-3)
-    trainer = Trainer(model, CrossEntropyLoss(), tx)
+    presort = ({"resolution": 32, "normalize": False}
+               if os.environ.get("PVCNN_TPU_PRESORT", "1") != "0" else None)
+    trainer = Trainer(model, CrossEntropyLoss(), tx, presort=presort)
     rng = np.random.RandomState(0)
     inputs = rng.randn(BATCH, NUM_POINTS, 6 + 16).astype(np.float32)
     labels = rng.randint(0, 50, size=(BATCH, NUM_POINTS))

@@ -53,7 +53,12 @@ def main():
 
     model, in_ch, n_cls = build_model()
     tx, _ = Adam(1e-3)
-    trainer = Trainer(model, CrossEntropyLoss(), tx)
+    presort = None
+    if os.environ.get("PVCNN_TPU_PRESORT", "1") != "0":
+        presort = {"shapenet_pvcnn_0p25": {"resolution": 32, "normalize": False},
+                   "shapenet_pvcnn_1": {"resolution": 32, "normalize": False},
+                   }.get(MODEL)
+    trainer = Trainer(model, CrossEntropyLoss(), tx, presort=presort)
     rng = np.random.RandomState(0)
     inputs = rng.randn(BATCH, NUM_POINTS, in_ch).astype(np.float32)
     labels = rng.randint(0, n_cls, size=(BATCH, NUM_POINTS))

@@ -138,8 +138,14 @@ def main():
 
     mesh = (pmesh.make_mesh(devices=configs.devices)
             if configs.get("devices") else None)
+    # optional train-step batch presort (configs.train.presort = dict with
+    # resolution/normalize/eps of the model's first PVConv — see
+    # pvcnn_tpu/train/trainer.py::presort_batch). Training-only optimization;
+    # eval keeps the input point order.
+    presort = configs.train.get("presort")
     trainer = Trainer(model, criterion, tx, mesh=mesh, seed=seed,
-                      has_sample_rng=isinstance(model, FrustumNet))
+                      has_sample_rng=isinstance(model, FrustumNet),
+                      presort=dict(presort) if presort else None)
     train_split = "train" if "train" in dataset else list(dataset)[0]
     state = trainer.init_state(build_example_inputs(dataset[train_split]))
 
