@@ -5,6 +5,9 @@ configs.deterministic = True  # TPU ops here are deterministic by construction
 
 # data configs
 configs.data = Config()
-# item-fetch thread-pool width (reference configs/__init__.py:8 uses 16
-# worker processes; here threads — h5py/IO release the GIL). 0 = serial.
+# item-fetch worker-pool width (reference configs/__init__.py:8: 16 worker
+# processes). 0 = serial. workers_mode "thread" suits GIL-releasing item work
+# (h5py reads); "process" forks per-epoch workers for GIL-bound numpy work
+# (ShapeNet's resample/jitter — set in its config).
 configs.data.num_workers = 16
+configs.data.workers_mode = "thread"

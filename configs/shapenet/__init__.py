@@ -7,6 +7,9 @@ from pvcnn_tpu.utils.config import Config, configs
 
 configs.data.num_classes = 50
 configs.data.num_shapes = 16
+# ShapeNet item work (resample+jitter+one-hot) is GIL-bound numpy: worker
+# PROCESSES parallelize it, threads don't (measured in tools/bench_input.py)
+configs.data.workers_mode = "process"
 
 # dataset configs
 configs.dataset = Config(ShapeNet)

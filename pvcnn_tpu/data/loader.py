@@ -19,6 +19,7 @@ hosts is an unbiased shuffle of the dataset.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import multiprocessing as mp
 import queue
 import threading
 from typing import Any, Iterator
@@ -26,6 +27,30 @@ from typing import Any, Iterator
 import numpy as np
 
 __all__ = ["DataLoader"]
+
+
+def _proc_worker(dataset, task_q, out_q):
+    """Worker-process loop: build whole batches. Each task seeds numpy's
+    global RNG from (loader seed, epoch, batch index), so augmentation draws
+    are DETERMINISTIC and independent of worker count / scheduling — unlike
+    the thread pool, whose draws interleave on the shared global state.
+    Workers are PERSISTENT across epochs (torch persistent_workers=True):
+    the dataset's in-memory cache survives, so after the first epoch a
+    parse-heavy dataset (ShapeNet .txt) serves resample-only work."""
+    while True:
+        task = task_q.get()
+        if task is None:
+            return
+        epoch, j, idx, seed = task
+        try:
+            np.random.seed(seed)
+            out_q.put((epoch, j,
+                       _collate([dataset[int(i)] for i in idx]), None))
+        except BaseException as e:  # pragma: no cover - error path
+            try:
+                out_q.put((epoch, j, None, e))
+            except Exception:
+                out_q.put((epoch, j, None, RuntimeError(repr(e))))
 
 
 def _collate(items):
@@ -41,16 +66,37 @@ def _collate(items):
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0, prefetch: int = 2,
-                 num_workers: int = 0, shard_by_process: bool = False,
+                 num_workers: int = 0, workers_mode: str = "thread",
+                 shard_by_process: bool = False,
                  process_index: int | None = None,
                  process_count: int | None = None):
+        # workers_mode: "thread" parallelizes GIL-releasing item work (h5py
+        # reads — right for S3DIS); "process" forks worker processes per
+        # epoch (torch DataLoader's model, reference train.py:174
+        # num_workers=16) for GIL-bound numpy item work (ShapeNet's
+        # resample+jitter+one-hot — measured ~36 ms/batch serial, which
+        # cannot feed a ~32 ms train step; threads make it WORSE).
+        assert workers_mode in ("thread", "process"), workers_mode
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
-        self.num_workers = int(num_workers)
+        # clamp to the host's cores: on a 1-core host any pool only adds
+        # overhead (measured: thread/process pools REGRESS loader rate there);
+        # reference hosts run 16 workers on many-core machines.
+        # PVCNN_TPU_LOADER_FORCE_WORKERS=1 skips the clamp (tests exercise
+        # the pool paths on 1-core CI).
+        import os as _os
+
+        if _os.environ.get("PVCNN_TPU_LOADER_FORCE_WORKERS") == "1":
+            self.num_workers = int(num_workers)
+        else:
+            cores = _os.cpu_count() or 1
+            self.num_workers = (0 if cores <= 1
+                                else min(int(num_workers), cores))
+        self.workers_mode = workers_mode
         self.shard_by_process = shard_by_process
         # explicit overrides keep multi-host sharding testable without
         # spawning real processes (and callers on CPU meshes deterministic)
@@ -98,12 +144,88 @@ class DataLoader:
         order = self._order()
         n = len(order)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        if self.num_workers > 0 and self.workers_mode == "process":
+            yield from self._batches_processes(order, stop)
+            return
         if self.num_workers > 0:
             yield from self._batches_pooled(order, stop)
             return
         for start in range(0, stop, self.batch_size):
             idx = order[start:start + self.batch_size]
             yield _collate([self.dataset[int(i)] for i in idx])
+
+    def _ensure_pool(self):
+        if getattr(self, "_pool", None) is not None:
+            return self._pool
+        ctx = mp.get_context("fork")
+        task_q = ctx.Queue()
+        out_q = ctx.Queue()
+        procs = [ctx.Process(target=_proc_worker,
+                             args=(self.dataset, task_q, out_q), daemon=True)
+                 for _ in range(self.num_workers)]
+        for p in procs:
+            p.start()
+        self._pool = (task_q, out_q, procs)
+        return self._pool
+
+    def close(self):
+        """Shut the persistent worker-process pool down (daemon workers die
+        with the parent anyway; call this to release them early)."""
+        pool = getattr(self, "_pool", None)
+        if pool is None:
+            return
+        task_q, _, procs = pool
+        self._pool = None
+        for _ in procs:
+            task_q.put(None)
+        for p in procs:
+            p.join(timeout=5)
+            if p.is_alive():  # wedged worker: don't hang shutdown
+                p.terminate()
+
+    def __del__(self):  # pragma: no cover - interpreter-shutdown ordering
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def _batches_processes(self, order, stop) -> Iterator[Any]:
+        """PERSISTENT worker-process pool (forked once, reused every epoch —
+        dataset caches in the workers survive, unlike torch's default
+        fork-per-epoch; memory cost is up to one dataset cache per worker).
+        Batch-level tasks, deterministic order via a reorder buffer,
+        deterministic augmentation via per-batch RNG seeding. Results are
+        tagged with the epoch so an abandoned epoch's stragglers are dropped,
+        not misdelivered."""
+        starts = list(range(0, stop, self.batch_size))
+        if not starts:
+            return
+        task_q, out_q, procs = self._ensure_pool()
+        depth = min(self.num_workers + max(self.prefetch, 1), len(starts))
+        epoch = self._epoch
+
+        def submit(j):
+            idx = [int(i) for i in order[starts[j]:starts[j]
+                                         + self.batch_size]]
+            seed = (self.seed * 1000003 + epoch * 9176 + j) % (2 ** 32)
+            task_q.put((epoch, j, idx, seed))
+
+        for j in range(depth):
+            submit(j)
+        ahead = depth
+        held: dict = {}
+        for want in range(len(starts)):
+            while want not in held:
+                ep, j, batch, err = out_q.get()
+                if ep != epoch:
+                    continue            # straggler from an abandoned epoch
+                if err is not None:
+                    raise err
+                held[j] = batch
+                if ahead < len(starts):
+                    submit(ahead)
+                    ahead += 1
+            yield held.pop(want)
 
     def _batches_pooled(self, order, stop) -> Iterator[Any]:
         """Fetch items on a thread pool, keeping batch order deterministic.

@@ -71,6 +71,12 @@ class TestSchedulers:
 
 
 class TestDataLoader:
+    @pytest.fixture(autouse=True)
+    def _force_workers(self, monkeypatch):
+        # the loader clamps num_workers to the host's cores (0 on 1-core);
+        # CI must still exercise the pool code paths
+        monkeypatch.setenv("PVCNN_TPU_LOADER_FORCE_WORKERS", "1")
+
     def _dataset(self, n=10):
         return [(np.full((4, 2), i, np.float32), np.int64(i)) for i in range(n)]
 
@@ -139,6 +145,50 @@ class TestDataLoader:
                 return np.zeros(2, np.float32), np.int64(i)
 
         loader = DataLoader(Bad(), batch_size=2, prefetch=2, num_workers=3)
+        with pytest.raises(RuntimeError, match="boom"):
+            list(loader)
+
+    def test_process_pool_matches_serial(self):
+        ds = self._dataset(23)
+        serial = list(DataLoader(ds, batch_size=4, shuffle=True, seed=3))
+        pooled = list(DataLoader(ds, batch_size=4, shuffle=True, seed=3,
+                                 num_workers=3, workers_mode="process"))
+        assert len(serial) == len(pooled)
+        for (xs, ys), (xp, yp) in zip(serial, pooled):
+            np.testing.assert_array_equal(xs, xp)
+            np.testing.assert_array_equal(ys, yp)
+
+    def test_process_pool_augmentation_deterministic(self):
+        # per-batch RNG seeding: augmentation draws must not depend on worker
+        # count or scheduling (unlike the thread pool's global-state interleave)
+        class Aug:
+            def __len__(self):
+                return 16
+
+            def __getitem__(self, i):
+                return (np.float32(i) + np.random.randn(3).astype(np.float32),
+                        np.int64(i))
+
+        runs = []
+        for w in (2, 5):
+            loader = DataLoader(Aug(), batch_size=4, seed=11, num_workers=w,
+                                workers_mode="process")
+            runs.append([x for x, _ in loader])
+        for a, b in zip(*runs):
+            np.testing.assert_array_equal(a, b)
+
+    def test_process_pool_raises_errors(self):
+        class Bad:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                if i == 5:
+                    raise RuntimeError("boom")
+                return np.zeros(2, np.float32), np.int64(i)
+
+        loader = DataLoader(Bad(), batch_size=2, num_workers=2,
+                            workers_mode="process")
         with pytest.raises(RuntimeError, match="boom"):
             list(loader)
 

@@ -93,21 +93,26 @@ def time_loader(loader, step_s=0.0, epochs=1):
     return n / dt, n
 
 
-def bench_config(name, loader_fn, batch_points, step_ms, workers_list):
+def bench_config(name, loader_fn, batch_points, step_ms, workers_list,
+                 modes=("thread",)):
     out = {}
-    for w in workers_list:
-        loader = loader_fn(w)
-        rate, n = time_loader(loader)  # standalone epoch 1 (cold IO)
-        rate2, _ = time_loader(loader)  # epoch 2 (OS page cache warm)
-        ov_rate, _ = time_loader(loader, step_s=step_ms / 1e3)
-        step_rate = 1e3 / step_ms
-        out[f"workers_{w}"] = {
-            "loader_batches_per_s_cold": round(rate, 2),
-            "loader_batches_per_s_warm": round(rate2, 2),
-            "loader_points_per_s_warm": round(rate2 * batch_points, 0),
-            "epoch_overhead_pct": round(
-                100.0 * (step_rate / min(ov_rate, step_rate) - 1.0), 1),
-        }
+    for mode in modes:
+        for w in workers_list:
+            if w == 0 and mode != modes[0]:
+                continue                       # serial is mode-independent
+            loader = loader_fn(w, mode)
+            rate, n = time_loader(loader)  # standalone epoch 1 (cold IO)
+            rate2, _ = time_loader(loader)  # epoch 2 (OS page cache warm)
+            ov_rate, _ = time_loader(loader, step_s=step_ms / 1e3)
+            step_rate = 1e3 / step_ms
+            tag = f"workers_{w}" if w == 0 else f"{mode}_workers_{w}"
+            out[tag] = {
+                "loader_batches_per_s_cold": round(rate, 2),
+                "loader_batches_per_s_warm": round(rate2, 2),
+                "loader_points_per_s_warm": round(rate2 * batch_points, 0),
+                "epoch_overhead_pct": round(
+                    100.0 * (step_rate / min(ov_rate, step_rate) - 1.0), 1),
+            }
     return out
 
 
@@ -119,10 +124,11 @@ def main():
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
+    os.environ["PVCNN_TPU_LOADER_FORCE_WORKERS"] = "1"  # measure pools as-is
     from pvcnn_tpu.data.loader import DataLoader
 
     tmp = tempfile.mkdtemp(prefix="bench_input_")
-    record = {"step_ms": args.step_ms}
+    record = {"step_ms": args.step_ms, "host_cores": os.cpu_count()}
     try:
         s3dis_root = os.path.join(tmp, "s3dis")
         make_s3dis(s3dis_root)
@@ -130,15 +136,15 @@ def main():
         ds = S3DIS(root=s3dis_root, num_points=4096, split="train",
                    holdout_area=5)["train"]
         record["s3dis_pvcnn_b32x4096"] = bench_config(
-            "s3dis", lambda w: DataLoader(ds, batch_size=32, shuffle=True,
-                                          num_workers=w),
+            "s3dis", lambda w, m: DataLoader(ds, batch_size=32, shuffle=True,
+                                             num_workers=w, workers_mode=m),
             32 * 4096, args.step_ms, args.workers)
 
         ds2 = S3DIS(root=s3dis_root, num_points=8192, split="train",
                     holdout_area=5)["train"]
         record["s3dis_pvcnn2_b8x8192"] = bench_config(
-            "s3dis2", lambda w: DataLoader(ds2, batch_size=8, shuffle=True,
-                                           num_workers=w),
+            "s3dis2", lambda w, m: DataLoader(ds2, batch_size=8, shuffle=True,
+                                              num_workers=w, workers_mode=m),
             8 * 8192, args.step_ms, args.workers)
 
         sn_root = os.path.join(tmp, "shapenet")
@@ -146,9 +152,11 @@ def main():
         from pvcnn_tpu.data.shapenet import ShapeNet
         dsn = ShapeNet(root=sn_root, num_points=2048, split="train")["train"]
         record["shapenet_b64x2048"] = bench_config(
-            "shapenet", lambda w: DataLoader(dsn, batch_size=64, shuffle=True,
-                                             num_workers=w),
-            64 * 2048, args.step_ms, args.workers)
+            "shapenet", lambda w, m: DataLoader(dsn, batch_size=64,
+                                                shuffle=True, num_workers=w,
+                                                workers_mode=m),
+            64 * 2048, args.step_ms, args.workers,
+            modes=("thread", "process"))
     finally:
         if not args.keep:
             shutil.rmtree(tmp, ignore_errors=True)

@@ -46,7 +46,9 @@ def main():
     loaders = {
         split: DataLoader(dataset[split], batch_size=configs.train.batch_size,
                           shuffle=(split == "train"), seed=seed,
-                          num_workers=getattr(configs.data, "num_workers", 0))
+                          num_workers=getattr(configs.data, "num_workers", 0),
+                          workers_mode=getattr(configs.data, "workers_mode",
+                                               "thread"))
         for split in dataset
     }
 
