@@ -40,12 +40,35 @@ class PVCNN(nn.Module):
                 voxel_resolution_multiplier=self.voxel_resolution_multiplier,
                 dtype=self.dtype)
 
+        from pvcnn_tpu.models.utils import (mid_resort_enabled,
+                                            resort_for_next_resolution)
+
         features = inputs
         out_features_list = []
-        for i, layer in enumerate(point_layers):
+        perm_out = None
+        precomputed = None
+        cur_res = None
+        for layer in point_layers:
             if isinstance(layer, PVConv):
-                features, _ = layer(features, coords, train=train,
-                                    precomputed=presorted if i == 0 else None)
+                if presorted is not None and layer.resolution != cur_res:
+                    if cur_res is None:
+                        precomputed = presorted   # the trainer's sort
+                        cur_res = layer.resolution
+                    elif mid_resort_enabled():
+                        # one packed row gather per resolution group — its
+                        # PVConvs then run the zero-gather assume_sorted
+                        # kernels; the trainer permutes labels by perm_out
+                        (out_features_list, features, coords, _,
+                         precomputed, perm_out) = \
+                            resort_for_next_resolution(
+                                out_features_list, features, coords, None,
+                                layer.resolution, normalize=True,
+                                prev_perm=perm_out)
+                        cur_res = layer.resolution
+                features, _ = layer(
+                    features, coords, train=train,
+                    precomputed=(precomputed
+                                 if layer.resolution == cur_res else None))
             else:
                 features = layer(features, train=train)
             out_features_list.append(features)
@@ -63,4 +86,9 @@ class PVCNN(nn.Module):
             dim=2, width_multiplier=self.width_multiplier, dtype=self.dtype)
         # list call: Dense(concat(xs)) without materializing the concat
         features = classifier[0](out_features_list, train=train)
-        return apply_layers(classifier[1:], features, train=train)
+        logits = apply_layers(classifier[1:], features, train=train)
+        if presorted is not None:
+            # logits are in the LAST resort's point order; perm_out maps it
+            # back to the caller's (trainer-presorted) order for the labels
+            return logits, perm_out
+        return logits

@@ -35,6 +35,9 @@ class PVCNN(nn.Module):
         (train/trainer.py::presort_batch builds it; this model's first
         PVConv uses normalize=False). All per-point ops are order-agnostic,
         so outputs are simply in the presorted point order."""
+        from pvcnn_tpu.models.utils import (mid_resort_enabled,
+                                            resort_for_next_resolution)
+
         in_channels = self.extra_feature_channels + 3
         features = inputs[..., :in_channels]
         one_hot_vectors = inputs[..., -self.num_shapes:]
@@ -48,10 +51,31 @@ class PVCNN(nn.Module):
                 dtype=self.dtype)
 
         out_features_list = [one_hot_vectors]
-        for i, layer in enumerate(point_layers):
+        perm_out = None
+        precomputed = None
+        cur_res = None
+        for layer in point_layers:
             if isinstance(layer, PVConv):
-                features, _ = layer(features, coords, train=train,
-                                    precomputed=presorted if i == 0 else None)
+                if presorted is not None and layer.resolution != cur_res:
+                    if cur_res is None:
+                        precomputed = presorted   # the trainer's sort
+                        cur_res = layer.resolution
+                    elif mid_resort_enabled():
+                        # re-sort ONCE per resolution group (one packed row
+                        # gather) so this group's PVConvs also run the
+                        # zero-gather assume_sorted kernels; the trainer
+                        # permutes labels by the returned perm
+                        (out_features_list, features, coords,
+                         one_hot_vectors, precomputed, perm_out) = \
+                            resort_for_next_resolution(
+                                out_features_list, features, coords,
+                                one_hot_vectors, layer.resolution,
+                                normalize=False, prev_perm=perm_out)
+                        cur_res = layer.resolution
+                features, _ = layer(
+                    features, coords, train=train,
+                    precomputed=(precomputed
+                                 if layer.resolution == cur_res else None))
             else:
                 features = layer(features, train=train)
             out_features_list.append(features)
@@ -69,4 +93,9 @@ class PVCNN(nn.Module):
         # through SplitDense — Dense(concat(xs)) without the ~1.2k-channel
         # concat buffer (see nn/shared_mlp.py)
         features = classifier[0](out_features_list, train=train)
-        return apply_layers(classifier[1:], features, train=train)
+        logits = apply_layers(classifier[1:], features, train=train)
+        if presorted is not None:
+            # logits are in the LAST resort's point order; perm_out maps it
+            # back to the caller's (trainer-presorted) order for the labels
+            return logits, perm_out
+        return logits

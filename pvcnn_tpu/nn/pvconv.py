@@ -89,15 +89,11 @@ class PVConv(nn.Module):
             assume_sorted = False
         else:
             norm_coords = precomputed
-            # voxel index math in [B, 3, N] layout (points on lanes);
-            # round(norm) == normalize_coords' vox_coords elementwise
-            nt = jnp.swapaxes(norm_coords, 1, 2)
-            rr = int(self.resolution)
-            flat = (jnp.round(nt[:, 0]).astype(jnp.int32) * (rr * rr)
-                    + jnp.round(nt[:, 1]).astype(jnp.int32) * rr
-                    + jnp.round(nt[:, 2]).astype(jnp.int32))
-            grid = ops.avg_voxelize(features, None, self.resolution,
-                                    flat_idx=flat)
+            # zero-gather sorted scatter-mean (falls back to the flat-index
+            # scatter when no kernel plan fits; identical results)
+            from pvcnn_tpu.ops.voxelize import avg_voxelize_sorted
+            grid = avg_voxelize_sorted(features, norm_coords,
+                                       self.resolution)
             assume_sorted = True
 
         k = int(self.kernel_size)

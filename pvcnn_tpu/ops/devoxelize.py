@@ -432,28 +432,40 @@ def _packed_scatter_call(values8, idx8, r3, offs, num_corners, c, md):
 
 
 def _presorted_pallas_scatter(g, w8_t, idx8_t, r3, offs, md):
-    """assume_sorted backward, full-pack (K=8) only: the cotangent rows arrive
-    in base-bin-sorted order (the network runs in the presorted point order),
-    so the scatter kernel takes [g, w8]-built values directly — no sort, no
-    payload permutation gather; values are built in the kernel's native
-    [B, KC, rows] layout (points on lanes). None if the plan doesn't fit
-    (grouped packs would interleave two sorted halves, breaking global
-    sortedness — callers fall through to the general paths)."""
+    """assume_sorted backward: the cotangent rows arrive in base-bin-sorted
+    order (the network runs in the presorted point order), so the scatter
+    kernel takes [g, w8]-built values directly — no sort, no payload
+    permutation gather; values are built in the kernel's native [B, KC, rows]
+    layout (points on lanes).
+
+    Wide channels split the 8 corners into GROUPS of `nc`, one kernel call
+    per group: group gk's base bins are the sort key plus the constant
+    offs[gk*nc], so each call's rows are still globally sorted — unlike the
+    unsorted-payload path, which must concatenate groups on the row axis and
+    thereby interleaves two sorted sequences. None if no plan fits."""
     from pvcnn_tpu.ops.pallas.sorted_scatter import (bin_starts,
                                                      sorted_scatter_add,
                                                      sorted_scatter_plan)
 
     b, n, c = g.shape
-    plan = sorted_scatter_plan(r3, n, 8 * c, c, offs[-1], md, b)
-    if plan is None:
-        return None
-    base = idx8_t[:, 0, :]
-    starts = bin_starts(base, r3, plan[0])
     g_t = jnp.swapaxes(g, 1, 2)                              # [B, C, N]
-    values_t = (w8_t[:, :, None, :].astype(g.dtype)
-                * g_t[:, None, :, :]).reshape(b, 8 * c, n)
-    return sorted_scatter_add(values_t, base, starts, r3, offs, c, md,
-                              values_transposed=True)
+    for nc in (8, 4, 2):
+        plan = sorted_scatter_plan(r3, n, nc * c, c, offs[nc - 1], md, b)
+        if plan is None:
+            continue
+        out = None
+        for gk in range(8 // nc):
+            base = idx8_t[:, gk * nc, :]
+            starts = bin_starts(base, r3, plan[0])
+            w_gk = w8_t[:, gk * nc:(gk + 1) * nc, :]
+            values_t = (w_gk[:, :, None, :].astype(g.dtype)
+                        * g_t[:, None, :, :]).reshape(b, nc * c, n)
+            part = sorted_scatter_add(values_t, base, starts, r3,
+                                      offs[:nc], c, md,
+                                      values_transposed=True)
+            out = part if out is None else out + part
+        return out
+    return None
 
 
 def _devox_bwd(resolution, assume_sorted, residuals, g):
@@ -477,7 +489,11 @@ def _devox_bwd(resolution, assume_sorted, residuals, g):
         from pvcnn_tpu.ops.pallas.sorted_gather import sorted_gather_plan
         if sorted_gather_plan(r3, n, c, offs[-1], g.dtype, b) is not None:
             idx8_t, w8_t = idx8, w8
-            if c <= 16:
+            # above this width the grouped presorted scatter (2-4 kernel
+            # calls + grid adds) loses to the gather-free unsorted packed
+            # kernel below — knob for in-step A/B, one process per setting
+            max_c = int(os.environ.get("PVCNN_TPU_PRESORTED_BWD_MAX_C", "16"))
+            if c <= max_c:
                 dflat = _presorted_pallas_scatter(g, w8_t, idx8_t, r3, offs,
                                                   md)
                 if dflat is not None:

@@ -150,6 +150,139 @@ def avg_voxelize(features: jnp.ndarray, vox_coords: jnp.ndarray,
     return means.reshape(b, r, r, r, c)
 
 
+def _corner_indicators(norm_t: jnp.ndarray, r: int):
+    """norm_t [B, 3, N] -> (base [B, N] floor bins, ind8_t [B, 8, N] f32
+    one-hot of each point's ROUND corner relative to its floor base).
+    round(norm) = floor(norm) + step with step in {0,1}^3 (jnp.round's
+    half-to-even included, because step is computed from round itself), so
+    the round-bin scatter decomposes over the same 8 corner offsets as
+    trilinear devoxelization — which makes rows sorted by the FLOOR base
+    (the presort key) usable even though round bins are not sorted."""
+    lo = jnp.floor(norm_t)
+    step = (jnp.round(norm_t) - lo).astype(jnp.int32)     # {0,1} exactly
+    lo = lo.astype(jnp.int32)
+    base = lo[:, 0] * (r * r) + lo[:, 1] * r + lo[:, 2]
+    sx, sy, sz = step[:, 0], step[:, 1], step[:, 2]
+    ind = []
+    for kx in (0, 1):
+        for ky in (0, 1):
+            for kz in (0, 1):
+                ind.append((sx == kx) & (sy == ky) & (sz == kz))
+    return base, jnp.stack(ind, axis=1).astype(jnp.float32)
+
+
+def avg_voxelize_sorted(features: jnp.ndarray, norm_coords: jnp.ndarray,
+                        resolution: int):
+    """Presorted scatter-mean: same result as `avg_voxelize` on
+    round(norm_coords) bins, for rows sorted by the FLOOR base bin
+    (ops.corner_base_bins — the trainer presort key). Runs the corner-packed
+    sorted Pallas kernels with ZERO permutation gathers: forward scatters
+    [features, ones] under the 8 round-corner indicators; backward gathers
+    count-scaled grid grads under the same indicators (the gather transpose).
+    Falls back to the general `avg_voxelize` when no kernel plan fits
+    (results identical either way)."""
+    import os as _os
+
+    from pvcnn_tpu.ops.pallas.scatter import _mm_dtype
+    from pvcnn_tpu.ops.pallas.sorted_gather import sorted_gather_plan
+    from pvcnn_tpu.ops.pallas.sorted_scatter import sorted_scatter_plan
+
+    b, n, c = features.shape
+    r = int(resolution)
+    r3 = r * r * r
+    interpret = _os.environ.get("PVCNN_TPU_PALLAS_INTERPRET") == "1"
+    on_tpu = interpret or jax.default_backend() == "tpu"
+    if _os.environ.get("PVCNN_TPU_AVGVOX_SORTED", "0") == "0":
+        # Default OFF: same-session A/B at the headline config measured the
+        # sorted kernels 36.31 vs 32.55 ms/step for the flat round-bin
+        # scatter — the f32 corner-indicator expansion (8 x cp-padded values
+        # built per point) costs more than the permutation gathers it
+        # removes. Opt in with PVCNN_TPU_AVGVOX_SORTED=1 (kept because the
+        # formulation is exact — see test_avg_voxelize_sorted_matches_plain —
+        # and may win on future hardware/wider channels).
+        on_tpu = False
+    cp = -(-(c + 1) // 8) * 8                 # padded [features, ones] width
+    offs = (0, 1, r, r + 1, r * r, r * r + 1, r * r + r, r * r + r + 1)
+    md = _mm_dtype()
+    plan_ok = on_tpu and r3 % 128 == 0 and any(
+        sorted_scatter_plan(r3, n, nc * cp, cp, offs[nc - 1], md, b)
+        is not None for nc in (8, 4, 2)
+    ) and sorted_gather_plan(r3, n, cp, offs[-1], features.dtype, b) is not None
+    if not plan_ok:
+        norm_t = jnp.swapaxes(norm_coords, 1, 2)
+        vt = jnp.round(norm_t).astype(jnp.int32)
+        flat = vt[:, 0] * (r * r) + vt[:, 1] * r + vt[:, 2]
+        return avg_voxelize(features, None, r, flat_idx=flat)
+    means = _avg_voxelize_sorted_flat(features, norm_coords, r)
+    return means.reshape(b, r, r, r, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _avg_voxelize_sorted_flat(features, norm_coords, r):
+    out, _ = _avs_fwd(features, norm_coords, r)
+    return out
+
+
+def _avs_fwd(features, norm_coords, r):
+    from pvcnn_tpu.ops.pallas.scatter import _mm_dtype
+    from pvcnn_tpu.ops.pallas.sorted_scatter import (bin_starts,
+                                                     sorted_scatter_add,
+                                                     sorted_scatter_plan)
+
+    b, n, c = features.shape
+    r3 = r * r * r
+    cp = -(-(c + 1) // 8) * 8
+    offs = (0, 1, r, r + 1, r * r, r * r + 1, r * r + r, r * r + r + 1)
+    md = _mm_dtype()
+    base, ind8_t = _corner_indicators(jnp.swapaxes(norm_coords, 1, 2), r)
+    featc_t = jnp.concatenate([
+        jnp.swapaxes(features, 1, 2),
+        jnp.ones((b, 1, n), features.dtype),
+        jnp.zeros((b, cp - c - 1, n), features.dtype),
+    ], axis=1)                                             # [B, cp, N]
+    summed = None
+    for nc in (8, 4, 2):
+        plan = sorted_scatter_plan(r3, n, nc * cp, cp, offs[nc - 1], md, b)
+        if plan is None:
+            continue
+        for gk in range(8 // nc):
+            base_g = base + offs[gk * nc]
+            starts = bin_starts(base_g, r3, plan[0])
+            ind_g = ind8_t[:, gk * nc:(gk + 1) * nc, :]
+            values_t = (ind_g[:, :, None, :].astype(featc_t.dtype)
+                        * featc_t[:, None, :, :]).reshape(b, nc * cp, n)
+            part = sorted_scatter_add(values_t, base_g, starts, r3,
+                                      offs[:nc], cp, md,
+                                      values_transposed=True)
+            summed = part if summed is None else summed + part
+        break
+    assert summed is not None, "caller must gate on sorted_scatter_plan"
+    counts = summed[..., c]
+    means = summed[..., :c] / jnp.maximum(counts, 1.0)[..., None]
+    return means.astype(features.dtype), (base, ind8_t, counts)
+
+
+def _avs_bwd(r, residuals, g):
+    from pvcnn_tpu.ops.pallas.sorted_gather import sorted_devox_gather
+    from pvcnn_tpu.ops.pallas.sorted_scatter import bin_starts
+    from pvcnn_tpu.ops.pallas.sorted_gather import sorted_gather_plan
+
+    base, ind8_t, counts = residuals
+    b, r3, c = g.shape
+    cp = -(-(c + 1) // 8) * 8
+    offs = (0, 1, r, r + 1, r * r, r * r + 1, r * r + r, r * r + r + 1)
+    scaled = g / jnp.maximum(counts, 1.0)[..., None].astype(g.dtype)
+    scaled = jnp.pad(scaled, ((0, 0), (0, 0), (0, cp - c)))
+    plan = sorted_gather_plan(r3, base.shape[1], cp, offs[-1], g.dtype, b)
+    starts = bin_starts(base, r3, plan[0])
+    out = sorted_devox_gather(scaled, base, ind8_t, starts, r3, offs)
+    return out[..., :c].astype(g.dtype), None
+
+
+_avg_voxelize_sorted_flat.defvjp(lambda f, nc_, r: _avs_fwd(f, nc_, r),
+                                 _avs_bwd)
+
+
 def normalize_coords(coords: jnp.ndarray, resolution: int, normalize: bool = True,
                      eps: float = 0.0):
     """Reference Voxelization coordinate normalization (modules/voxelization.py:16-25).

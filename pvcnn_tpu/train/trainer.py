@@ -155,7 +155,14 @@ class Trainer:
             outputs, mutated = self.model.apply(
                 variables, inputs, train=True, rngs=self._rngs(rng),
                 mutable=["batch_stats"], **apply_kwargs)
-            return self.criterion(outputs, targets), mutated["batch_stats"]
+            tgt = targets
+            if apply_kwargs and isinstance(outputs, tuple):
+                # presorted models re-sort points per resolution group and
+                # return (logits, perm); labels follow the same perm
+                outputs, perm = outputs
+                if perm is not None:
+                    tgt = jnp.take_along_axis(tgt, perm, axis=1)
+            return self.criterion(outputs, tgt), mutated["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)

@@ -266,6 +266,80 @@ def test_presort_step_matches_unsorted():
 
 
 @pytest.mark.slow
+def test_presort_full_pvcnn_matches_unsorted(monkeypatch):
+    """Full ShapeNet PVCNN through the presort path — trainer sort, layer-0
+    zero-gather kernels, the mid-network re-sort into the R=16 group's order,
+    avg_voxelize_sorted, and the (logits, perm) label permutation — must
+    compute the same loss and gradients as the plain path (fp reduction
+    order aside; dropout is disabled because its masks are per-POSITION, a
+    legitimate statistical difference under reordering). Shapes chosen so
+    the assume_sorted kernel plans fit."""
+    import flax.linen as fnn
+    import jax.numpy as jnp
+
+    from pvcnn_tpu.models import shapenet
+    from pvcnn_tpu.train.trainer import presort_batch
+
+    # both perf-parked opt-in paths ON so their exactness stays test-locked
+    monkeypatch.setenv("PVCNN_TPU_MID_RESORT", "1")
+    monkeypatch.setenv("PVCNN_TPU_AVGVOX_SORTED", "1")
+    monkeypatch.setattr(fnn.Dropout, "__call__",
+                        lambda self, x, deterministic=None, rng=None: x)
+
+    b, n, n_cls = 2, 512, 10
+    model = shapenet.PVCNN(num_classes=n_cls, num_shapes=4,
+                           width_multiplier=0.125)
+    rng = np.random.RandomState(0)
+    batch = (rng.randn(b, n, 6 + 4).astype(np.float32),
+             rng.randint(0, n_cls, size=(b, n)))
+    results = []
+    with jax.default_matmul_precision("float32"):
+        tx, _ = Adam(1e-2)
+        for presort in (None, {"resolution": 32, "normalize": False}):
+            trainer = Trainer(model, CrossEntropyLoss(), tx,
+                              mesh=pmesh.make_mesh(1), seed=0,
+                              presort=presort)
+            state = trainer.init_state(np.zeros((1, n, 6 + 4), np.float32))
+            inputs, targets = pmesh.shard_batch(batch, trainer.mesh)
+            kw = {}
+            if presort is not None:
+                inputs, targets, pre = presort_batch(inputs, targets,
+                                                     **presort)
+                kw["presorted"] = pre
+
+            @jax.jit
+            def loss_and_grads(params, inputs, targets):
+                def loss_fn(p):
+                    variables = {"params": p,
+                                 "batch_stats": state.batch_stats}
+                    outputs, _ = trainer.model.apply(
+                        variables, inputs, train=True,
+                        rngs=trainer._rngs(jax.random.PRNGKey(3)),
+                        mutable=["batch_stats"], **kw)
+                    tgt = targets
+                    if isinstance(outputs, tuple):
+                        outputs, perm = outputs
+                        if perm is not None:
+                            tgt = jnp.take_along_axis(tgt, perm, axis=1)
+                    return trainer.criterion(outputs, tgt)
+
+                return jax.value_and_grad(loss_fn)(params)
+
+            loss, grads = loss_and_grads(state.params, inputs, targets)
+            results.append((float(loss), jax.device_get(grads)))
+    (loss_u, g_u), (loss_s, g_s) = results
+    assert np.isclose(loss_u, loss_s, rtol=1e-5, atol=1e-6), (loss_u, loss_s)
+    a_all = np.concatenate([np.ravel(np.asarray(x, np.float64))
+                            for x in jax.tree.leaves(g_u)])
+    b_all = np.concatenate([np.ravel(np.asarray(x, np.float64))
+                            for x in jax.tree.leaves(g_s)])
+    scale = np.abs(b_all).max()
+    np.testing.assert_allclose(a_all, b_all, atol=5e-4 * scale)
+    rel_l2 = np.linalg.norm(a_all - b_all) / np.linalg.norm(b_all)
+    assert rel_l2 < 1e-3, rel_l2
+
+
+@pytest.mark.slow
 def test_dp_gradients_match_single_device_fp64():
     """fp64 CONTROL for the fp32 DP bounds above: in double precision the
     8-device-vs-1-device residual must collapse to reduction-order noise

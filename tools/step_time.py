@@ -46,6 +46,17 @@ def build_model():
 def main():
     import jax
 
+    try:  # same persistent compile cache as bench.py: the tunneled
+        # remote-compile service degrades to 25+ min when queued
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from pvcnn_tpu.nn.loss import CrossEntropyLoss
     from pvcnn_tpu.parallel import mesh as pmesh
     from pvcnn_tpu.train.optim import Adam
