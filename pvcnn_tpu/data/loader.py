@@ -110,7 +110,14 @@ class DataLoader:
         if not self.shard_by_process:
             return 0, 1
         if self._process_index is not None:
-            return int(self._process_index), int(self._process_count or 1)
+            # a missing process_count would silently shard as (rank, 1):
+            # order[rank::1] DROPS the first `rank` samples instead of
+            # sharding — make the misuse loud instead
+            assert self._process_count is not None, (
+                "DataLoader(process_index=...) requires process_count")
+            rank, world = int(self._process_index), int(self._process_count)
+            assert 0 <= rank < world, (rank, world)
+            return rank, world
         import jax
 
         return jax.process_index(), jax.process_count()
@@ -216,7 +223,19 @@ class DataLoader:
         held: dict = {}
         for want in range(len(starts)):
             while want not in held:
-                ep, j, batch, err = out_q.get()
+                try:
+                    ep, j, batch, err = out_q.get(timeout=30)
+                except queue.Empty:
+                    # a worker that died without posting (OOM kill, native
+                    # segfault) would otherwise hang this get() forever —
+                    # torch DataLoader detects dead workers; so do we
+                    dead = [p.pid for p in procs if not p.is_alive()]
+                    if dead:
+                        self.close()
+                        raise RuntimeError(
+                            f"DataLoader worker process(es) {dead} died "
+                            "unexpectedly (killed / crashed?)")
+                    continue
                 if ep != epoch:
                     continue            # straggler from an abandoned epoch
                 if err is not None:

@@ -7,6 +7,7 @@ x/X_room, y/Y_room, z/Z_room]. Samples come out channel-last [num_points, 9]."""
 from __future__ import annotations
 
 import os
+import threading
 
 import numpy as np
 
@@ -24,6 +25,13 @@ class _S3DISDataset:
         self.with_normalized_coords = with_normalized_coords
         self.cache_size = 20 if split == "train" else 30
         self.cache = {}
+        # thread-mode loader workers call __getitem__ concurrently; the h5
+        # handle cache evicts constantly (20 slots vs ~500 files under
+        # shuffle), so lookup+eviction+read must be one critical section or
+        # a reader can hold a handle another thread just closed. HDF5
+        # serializes API calls behind its own global lock anyway, so holding
+        # this lock across the dataset reads costs no real concurrency.
+        self._cache_lock = threading.Lock()
 
         areas = []
         if split == "train":
@@ -80,11 +88,12 @@ class _S3DISDataset:
 
     def __getitem__(self, index):
         filename = self.index_to_filename[index]
-        _, scene_data, scene_label, scene_num_points = self._file(filename)
         pos = index - self.filename_to_start_index[filename]
-        window_data = np.asarray(scene_data[pos], dtype=np.float32)
-        window_label = np.asarray(scene_label[pos], dtype=np.int64)
-        num_valid = int(scene_num_points[pos])
+        with self._cache_lock:
+            _, scene_data, scene_label, scene_num_points = self._file(filename)
+            window_data = np.asarray(scene_data[pos], dtype=np.float32)
+            window_label = np.asarray(scene_label[pos], dtype=np.int64)
+            num_valid = int(scene_num_points[pos])
 
         choices = np.random.choice(num_valid, self.num_points,
                                    replace=(num_valid < self.num_points))

@@ -126,11 +126,15 @@ def evaluate(configs):
             print(f"==> hit {configs.evaluate.stats_path}")
             predictions = np.load(configs.evaluate.stats_path)
         else:
+            # num_workers=0: __getitem__ resamples each frustum via the
+            # global np.random state seeded above, so the per-test-seed
+            # predictions must be order- and scheduling-independent — a
+            # thread pool would interleave the draws nondeterministically.
+            # Item work here is one choice + 1024-row gather; serial feeds
+            # the device rate easily.
             loader = DataLoader(dataset, shuffle=False,
                                 batch_size=configs.evaluate.batch_size,
-                                seed=seed,
-                                num_workers=getattr(configs.data,
-                                                    "num_workers", 0))
+                                seed=seed, num_workers=0)
             predictions = np.zeros((len(dataset), 8))
             current_step = 0
             for inputs, targets in loader:

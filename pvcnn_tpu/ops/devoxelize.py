@@ -455,7 +455,16 @@ def _presorted_pallas_scatter(g, w8_t, idx8_t, r3, offs, md):
             continue
         out = None
         for gk in range(8 // nc):
-            base = idx8_t[:, gk * nc, :]
+            # group gk's base bin must be the SORT KEY plus a constant —
+            # idx8_t[:, gk*nc] is NOT that when a point's frac is 0 on the
+            # group axis (coords clipped to exactly 0 / r-1, or exact grid
+            # hits): hi==lo collapses that corner onto base0, so those rows
+            # would sit in the wrong bin and break global sortedness,
+            # misaligning every bin window after them. A true constant shift
+            # of the key preserves sortedness; the collapsed-corner rows
+            # carry zero weight, so their (out-of-place but zero) bin
+            # contribution is harmless.
+            base = idx8_t[:, 0, :] + offs[gk * nc]
             starts = bin_starts(base, r3, plan[0])
             w_gk = w8_t[:, gk * nc:(gk + 1) * nc, :]
             values_t = (w_gk[:, :, None, :].astype(g.dtype)

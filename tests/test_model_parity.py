@@ -36,6 +36,15 @@ B, N = 2, 64
 RNGS = {"dropout": jax.random.PRNGKey(1), "sample": jax.random.PRNGKey(2)}
 
 
+
+def _seed(name: str) -> int:
+    """Deterministic per-case seed. Python's built-in str hash is SALTED per
+    process (PYTHONHASHSEED), which made twin weights differ run-to-run and
+    the fp32 flip-fraction bounds flaky at their boundary."""
+    import zlib
+
+    return zlib.crc32(name.encode()) % 2**31
+
 def _import_into(model, x, state, mapping, train=False):
     variables = model.init({"params": jax.random.PRNGKey(0), **RNGS}, x,
                            train=False)
@@ -236,7 +245,7 @@ FRUSTUM_CASES = {
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_full_model_eval_parity(name):
     case = CASES[name]
-    twin = tw.randomize(case["twin"](), seed=hash(name) % 2**31)
+    twin = tw.randomize(case["twin"](), seed=_seed(name))
     twin.eval()
     x = case["input"]()
     with torch.no_grad():
@@ -259,7 +268,7 @@ def test_full_model_train_parity(name, monkeypatch):
     monkeypatch.setattr(nn.Dropout, "__call__",
                         lambda self, x, deterministic=None, rng=None: x)
     case = CASES[name]
-    twin = tw.randomize(case["twin"](), seed=hash(name) % 2**31)
+    twin = tw.randomize(case["twin"](), seed=_seed(name))
     twin.train()
     for mod in twin.modules():
         if isinstance(mod, torch.nn.Dropout):
@@ -298,7 +307,7 @@ def test_full_model_grad_parity(name, monkeypatch):
     monkeypatch.setattr(nn.Dropout, "__call__",
                         lambda self, x, deterministic=None, rng=None: x)
     case = CASES[name]
-    twin = tw.randomize(case["twin"](), seed=hash(name) % 2**31)
+    twin = tw.randomize(case["twin"](), seed=_seed(name))
     twin.train()
     for mod in twin.modules():
         if isinstance(mod, torch.nn.Dropout):
@@ -371,7 +380,7 @@ def test_full_model_grad_parity_fp64(name, monkeypatch):
     monkeypatch.setattr(nn.Dropout, "__call__",
                         lambda self, x, deterministic=None, rng=None: x)
     case = CASES[name]
-    twin = tw.randomize(case["twin"](), seed=hash(name) % 2**31)
+    twin = tw.randomize(case["twin"](), seed=_seed(name))
     twin = twin.float().double()
     twin.train()
     for mod in twin.modules():
@@ -429,7 +438,7 @@ def test_full_model_grad_parity_fp64(name, monkeypatch):
 @pytest.mark.parametrize("name", sorted(FRUSTUM_CASES))
 def test_frustum_eval_parity(name):
     case = FRUSTUM_CASES[name]
-    twin = tw.randomize(case["twin"](), seed=hash(name) % 2**31)
+    twin = tw.randomize(case["twin"](), seed=_seed(name))
     twin.eval()
     rng = np.random.RandomState(21)
     feats = rng.randn(B, 4, N).astype(np.float32)

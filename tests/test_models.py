@@ -13,10 +13,19 @@ B, N = 2, 128
 NUM_CLASSES, NUM_SHAPES = 10, 4
 
 
+
+def _seed(name: str) -> int:
+    """Deterministic per-case seed. Python's built-in str hash is SALTED per
+    process (PYTHONHASHSEED), which made twin weights differ run-to-run and
+    the fp32 flip-fraction bounds flaky at their boundary."""
+    import zlib
+
+    return zlib.crc32(name.encode()) % 2**31
+
 def init_and_apply(model, inputs, rngs_extra=()):
     rngs = {"params": jax.random.PRNGKey(0)}
     for name in ("dropout",) + tuple(rngs_extra):
-        rngs[name] = jax.random.PRNGKey(hash(name) % 2**31)
+        rngs[name] = jax.random.PRNGKey(_seed(name))
     variables = model.init(rngs, inputs, train=False)
     apply_rngs = {k: v for k, v in rngs.items() if k != "params"}
     out_eval = model.apply(variables, inputs, train=False, rngs=apply_rngs)

@@ -209,6 +209,43 @@ class TestTrilinearDevoxelize:
         np.testing.assert_allclose(ana, want_g.reshape(ana.shape), rtol=1e-4,
                                    atol=1e-4)
 
+    @pytest.mark.parametrize("c", [32, 64])   # nc=4 and nc=2 grouped paths
+    def test_assume_sorted_grouped_bwd_boundary_coords(self, rng, monkeypatch,
+                                                       c):
+        """The grouped presorted backward (C > 16 splits the 8 corners into
+        groups of nc < 8) must stay exact when points sit exactly on grid
+        planes: frac == 0 on the group axis collapses hi onto lo, so the
+        group's OWN corner bins are no longer `sort key + constant`. The key
+        must be built as base0 + offs[gk*nc] (a true constant shift) or the
+        bin windows misalign and nearby rows' NONZERO gradients get dropped
+        (round-3 advisor finding, ops/devoxelize.py::_presorted_pallas_scatter)."""
+        monkeypatch.setenv("PVCNN_TPU_PRESORTED_BWD_MAX_C", "64")
+        b, n, r = 2, 512, 16
+        grid = rng.randn(b, r, r, r, c).astype(np.float32)
+        nc = rng.uniform(0, r - 1, size=(b, n, 3)).astype(np.float32)
+        # many exact-integer coords on each axis (incl. clips to 0 / r-1):
+        # these are the collapsed-corner rows that used to corrupt the key
+        for ax in range(3):
+            k = slice(ax * 100, ax * 100 + 50)
+            nc[:, k, ax] = np.round(nc[:, k, ax])
+        nc[:, 0] = [0, 0, 0]
+        nc[:, 1] = [r - 1, r - 1, r - 1]
+        base = np.asarray(ops.corner_base_bins(jnp.asarray(nc), r))
+        order = np.argsort(base, axis=1, kind="stable")
+        nc = np.take_along_axis(nc, order[..., None], axis=1)
+
+        w = rng.randn(b, n, c).astype(np.float32)
+
+        def f(x):
+            return jnp.sum(ops.trilinear_devoxelize(x, jnp.asarray(nc), r,
+                                                    True) * jnp.asarray(w))
+
+        with jax.default_matmul_precision("float32"):
+            ana = np.asarray(jax.grad(f)(jnp.asarray(grid)))
+        want_g = oracles.trilinear_devoxelize_grad(w, nc, r)
+        np.testing.assert_allclose(ana, want_g.reshape(ana.shape), rtol=1e-4,
+                                   atol=1e-4)
+
 
 class TestBallQuery:
     def test_matches_oracle(self, rng):

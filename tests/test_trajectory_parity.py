@@ -42,8 +42,17 @@ WEIGHT_DECAY = 1e-4
 B, N = 8, 64
 
 
+
+def _seed(name: str) -> int:
+    """Deterministic per-case seed. Python's built-in str hash is SALTED per
+    process (PYTHONHASHSEED), which made twin weights differ run-to-run and
+    the fp32 flip-fraction bounds flaky at their boundary."""
+    import zlib
+
+    return zlib.crc32(name.encode()) % 2**31
+
 def _batches(name, channels, num_classes, k=K_STEPS):
-    rng = np.random.RandomState(hash(name) % 2**31)
+    rng = np.random.RandomState(_seed(name))
     batches = []
     for _ in range(k):
         x = rng.randn(B, channels, N).astype(np.float32)
@@ -195,7 +204,7 @@ def test_training_trajectory_matches_twin(name, monkeypatch):
     case, channels, num_classes = _case(name)
     batches = _batches(name, channels, num_classes)
 
-    twin = tw.randomize(case["twin"](), seed=hash(name) % 2**31)
+    twin = tw.randomize(case["twin"](), seed=_seed(name))
     _disable_dropout(twin, monkeypatch)
     # deep-copy: state_dict_numpy returns VIEWS and torch optim updates
     # parameters in place, so without .copy() the jax run would start from
