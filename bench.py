@@ -19,9 +19,10 @@ for the reference CUDA implementation of this config on an A100-class device
 generational speedups). The proxy is a constant so the ratio is comparable
 across rounds; BASELINE.json's target of >=5x A100-equivalent corresponds to
 vs_baseline >= 5. The `roofline` field grounds the same number in hardware
-limits instead: XLA's compiled cost analysis gives FLOPs/step and HBM bytes
-(Pallas custom calls report zero FLOPs there, so `mfu_pct` is a LOWER bound),
-divided by the step time against the v5e datasheet peaks.
+limits instead: XLA's compiled cost analysis (zero for Pallas custom calls)
+PLUS the kernels' trace-time analytic counts (ops/pallas/cost.py) give
+FLOPs/step and HBM bytes, divided by the step time against the v5e datasheet
+peaks; `mfu_pct_xla_only` preserves the old XLA-only lower bound.
 
 Params, BatchNorm statistics, and the optimizer state stay fp32 in both
 configs; the evaluators force fp32 matmul precision, so checkpoint-parity
@@ -79,25 +80,29 @@ def _build(config: str, dtype: str):
     # the assume_sorted kernel paths then run with zero permutation gathers
     # (train/trainer.py::presort_batch). normalize must match the model's
     # first PVConv (ShapeNet PVCNN builds with normalize=False).
+    from pvcnn_tpu.models.utils import pvconv_resolutions
     presort = None
     if config == "shapenet_pvcnn_0p25":
         from pvcnn_tpu.models.shapenet import PVCNN
         model = PVCNN(num_classes=50, num_shapes=16, extra_feature_channels=3,
                       width_multiplier=0.25, dtype=dtype)
         b, n, in_ch, n_cls = (64 if dtype == "bfloat16" else 32), NUM_POINTS, 22, 50
-        presort = {"resolution": 32, "normalize": False}
+        presort = {"resolutions": pvconv_resolutions(PVCNN.blocks),
+                   "normalize": False}
     elif config == "shapenet_pvcnn_1":
         from pvcnn_tpu.models.shapenet import PVCNN
         model = PVCNN(num_classes=50, num_shapes=16, extra_feature_channels=3,
                       width_multiplier=1.0, dtype=dtype)
         b, n, in_ch, n_cls = 32, NUM_POINTS, 22, 50
-        presort = {"resolution": 32, "normalize": False}
+        presort = {"resolutions": pvconv_resolutions(PVCNN.blocks),
+                   "normalize": False}
     elif config == "s3dis_pvcnn_1":
         from pvcnn_tpu.models.s3dis import PVCNN
         model = PVCNN(num_classes=13, extra_feature_channels=6,
                       width_multiplier=1.0, dtype=dtype)
         b, n, in_ch, n_cls = 32, 4096, 9, 13
-        presort = {"resolution": 32, "normalize": True}
+        presort = {"resolutions": pvconv_resolutions(PVCNN.blocks),
+                   "normalize": True}
     elif config == "s3dis_pvcnn2_1":
         from pvcnn_tpu.models.s3dis import PVCNN2
         model = PVCNN2(num_classes=13, extra_feature_channels=6,
@@ -107,7 +112,9 @@ def _build(config: str, dtype: str):
         return _build_frustum(dtype, rng, tx)
     else:
         raise ValueError(config)
-    if os.environ.get("PVCNN_TPU_PRESORT", "1") == "0":
+    from pvcnn_tpu.utils import knobs
+
+    if not knobs.get("PVCNN_TPU_PRESORT"):
         presort = None
     trainer = Trainer(model, CrossEntropyLoss(), tx, presort=presort)
     inputs = rng.randn(b, n, in_ch).astype(np.float32)
@@ -149,27 +156,53 @@ def _build_frustum(dtype, rng, tx):
     return trainer, inputs, targets, b, n
 
 
-def _roofline(trainer, state, batch, key, ms_per_step):
-    """FLOPs + HBM bytes from the compiled step's cost analysis vs datasheet
-    peaks. Pallas custom calls contribute zero FLOPs to XLA's count, so
-    mfu_pct is a lower bound; bytes include HBM reads+writes as modeled."""
+def _step_costs(trainer, state, batch, key):
+    """FLOPs + HBM bytes of the train step, from TWO sources summed: XLA's
+    compiled cost analysis (which counts ZERO for every Pallas custom call)
+    plus the kernels' own trace-time analytic counts (ops/pallas/cost.py —
+    the flat-rows convs and one-hot scatter/gathers are the step's biggest
+    matmuls, all Pallas). MUST run before the step's first execution: a
+    cached jit trace skips the wrapper Python that records the Pallas costs
+    (lowering here also warms the jit cache, so the caller's warmup reuses
+    it)."""
+    from pvcnn_tpu.ops.pallas import cost as pcost
+
     try:
-        compiled = trainer._train_step.lower(state, batch, key).compile()
+        with pcost.recording() as rec:
+            lowered = trainer._train_step.lower(state, batch, key)
+        compiled = lowered.compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
-        bytes_acc = float(ca.get("bytes accessed", 0.0))
+        xla_flops = float(ca.get("flops", 0.0))
+        xla_bytes = float(ca.get("bytes accessed", 0.0))
     except Exception as e:  # tunneled backends may not expose cost analysis
         return {"error": f"cost_analysis unavailable: {type(e).__name__}"}
-    t = ms_per_step / 1e3
     return {
-        "flops_per_step": flops,
+        "flops_per_step": xla_flops + rec["flops"],
+        "xla_flops_per_step": xla_flops,
+        "pallas_flops_per_step": rec["flops"],
+        "pallas_by_kernel": {k: {"flops": v["flops"], "calls": v["calls"]}
+                             for k, v in sorted(rec["by_kernel"].items())},
+        "bytes_per_step": xla_bytes + rec["bytes"],
+    }
+
+
+def _roofline(costs, ms_per_step):
+    """Utilization vs the v5e datasheet peaks at the measured step time."""
+    if "error" in costs:
+        return costs
+    t = ms_per_step / 1e3
+    flops, bytes_acc = costs["flops_per_step"], costs["bytes_per_step"]
+    out = dict(costs)
+    out.update({
         "mfu_pct": round(100.0 * flops / t / V5E_PEAK_FLOPS, 2),
-        "bytes_per_step": bytes_acc,
+        "mfu_pct_xla_only": round(100.0 * costs["xla_flops_per_step"] / t
+                                  / V5E_PEAK_FLOPS, 2),
         "hbm_gbps": round(bytes_acc / t / 1e9, 1),
         "hbm_util_pct": round(100.0 * bytes_acc / t / V5E_PEAK_HBM_BPS, 1),
-    }
+    })
+    return out
 
 
 def _measure(config: str, dtype: str, windows: int = WINDOWS,
@@ -187,6 +220,8 @@ def _measure(config: str, dtype: str, windows: int = WINDOWS,
     state = trainer.init_state(example)
     batch = pmesh.shard_batch((inputs, targets), trainer.mesh)
     key = jax.random.PRNGKey(0)
+    # cost accounting must precede the first execution (see _step_costs)
+    costs = _step_costs(trainer, state, batch, key) if roofline else None
 
     # NOTE: block_until_ready does not synchronize on the tunneled axon
     # backend; a scalar host fetch is the only reliable fence, so each window
@@ -215,7 +250,7 @@ def _measure(config: str, dtype: str, windows: int = WINDOWS,
     out = {"value": round(med, 1), "spread_pct": round(spread_pct, 2)}
     if roofline:
         ms = batch_size * num_points / med * 1e3
-        out["roofline"] = _roofline(trainer, state, batch, key, ms)
+        out["roofline"] = _roofline(costs, ms)
     return out, rates
 
 
@@ -247,7 +282,9 @@ def main():
                                  4),
         },
     }
-    if os.environ.get("PVCNN_TPU_BENCH_EXTRAS", "1") != "0":
+    from pvcnn_tpu.utils import knobs
+
+    if knobs.get("PVCNN_TPU_BENCH_EXTRAS"):
         extras = {}
         for config, dtype in EXTRA_CONFIGS:
             try:

@@ -11,6 +11,8 @@ configs.dataset.num_points = 4096
 configs.train.optimizer.weight_decay = 1e-5
 configs.train.scheduler = Config(CosineAnnealingLR)
 configs.train.scheduler.t_max = configs.train.num_epochs
-# train-step batch presort by the first PVConv's (R=32, normalize=True)
-# devox base bin: zero-gather sorted kernels, see trainer.presort_batch
-configs.train.presort = {"resolution": 32, "normalize": True}
+# train-step batch presort: ONE sort by the first PVConv's (R=32,
+# normalize=True) devox base bin serves every resolution group (R=16 rides
+# the nested-presort contract) — zero-gather sorted kernels, see
+# trainer.presort_batch / ops/devoxelize.py
+configs.train.presort = {"resolutions": (32, 16), "normalize": True}

@@ -11,6 +11,8 @@ configs.model.extra_feature_channels = 3
 configs.train.num_epochs = 250
 configs.train.scheduler = Config(CosineAnnealingLR)
 configs.train.scheduler.t_max = configs.train.num_epochs
-# train-step batch presort by the first PVConv's (R=32, normalize=False)
-# devox base bin: zero-gather sorted kernels, see trainer.presort_batch
-configs.train.presort = {"resolution": 32, "normalize": False}
+# train-step batch presort: ONE sort by the first PVConv's (R=32,
+# normalize=False) devox base bin serves every resolution group (R=16 rides
+# the nested-presort contract) — zero-gather sorted kernels, see
+# trainer.presort_batch / ops/devoxelize.py
+configs.train.presort = {"resolutions": (32, 16), "normalize": False}

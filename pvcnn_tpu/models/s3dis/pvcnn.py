@@ -25,9 +25,11 @@ class PVCNN(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, train: bool = False, presorted=None):
-        """presorted: optional (vox_coords, norm_coords) for the FIRST
-        PVConv's resolution (normalize=True here), rows presorted by its
-        devoxelize base bin — see train/trainer.py::presort_batch."""
+        """presorted: optional {resolution: norm_coords} dict from
+        train/trainer.py::presort_batch (normalize=True here) — one sort by
+        the finest PVConv's devoxelize base bin serves every resolution
+        group via the nested-presort contract (see ops/devoxelize.py and
+        models/shapenet/pvcnn.py)."""
         if isinstance(inputs, dict):
             inputs = inputs["features"]
         in_channels = self.extra_feature_channels + 3
@@ -40,35 +42,16 @@ class PVCNN(nn.Module):
                 voxel_resolution_multiplier=self.voxel_resolution_multiplier,
                 dtype=self.dtype)
 
-        from pvcnn_tpu.models.utils import (mid_resort_enabled,
-                                            resort_for_next_resolution)
-
         features = inputs
         out_features_list = []
-        perm_out = None
-        precomputed = None
-        cur_res = None
+        r0 = max(presorted) if presorted else None   # the (finest) sort key
         for layer in point_layers:
             if isinstance(layer, PVConv):
-                if presorted is not None and layer.resolution != cur_res:
-                    if cur_res is None:
-                        precomputed = presorted   # the trainer's sort
-                        cur_res = layer.resolution
-                    elif mid_resort_enabled():
-                        # one packed row gather per resolution group — its
-                        # PVConvs then run the zero-gather assume_sorted
-                        # kernels; the trainer permutes labels by perm_out
-                        (out_features_list, features, coords, _,
-                         precomputed, perm_out) = \
-                            resort_for_next_resolution(
-                                out_features_list, features, coords, None,
-                                layer.resolution, normalize=True,
-                                prev_perm=perm_out)
-                        cur_res = layer.resolution
+                r = layer.resolution
+                pre = presorted.get(r) if presorted else None
                 features, _ = layer(
-                    features, coords, train=train,
-                    precomputed=(precomputed
-                                 if layer.resolution == cur_res else None))
+                    features, coords, train=train, precomputed=pre,
+                    sort_ratio=r0 // r if pre is not None else 1)
             else:
                 features = layer(features, train=train)
             out_features_list.append(features)
@@ -86,9 +69,4 @@ class PVCNN(nn.Module):
             dim=2, width_multiplier=self.width_multiplier, dtype=self.dtype)
         # list call: Dense(concat(xs)) without materializing the concat
         features = classifier[0](out_features_list, train=train)
-        logits = apply_layers(classifier[1:], features, train=train)
-        if presorted is not None:
-            # logits are in the LAST resort's point order; perm_out maps it
-            # back to the caller's (trainer-presorted) order for the labels
-            return logits, perm_out
-        return logits
+        return apply_layers(classifier[1:], features, train=train)

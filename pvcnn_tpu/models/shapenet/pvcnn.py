@@ -30,14 +30,14 @@ class PVCNN(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, train: bool = False, presorted=None):
-        """presorted: optional (vox_coords, norm_coords) for the FIRST
-        PVConv's resolution, rows presorted by its devoxelize base bin
-        (train/trainer.py::presort_batch builds it; this model's first
-        PVConv uses normalize=False). All per-point ops are order-agnostic,
-        so outputs are simply in the presorted point order."""
-        from pvcnn_tpu.models.utils import (mid_resort_enabled,
-                                            resort_for_next_resolution)
-
+        """presorted: optional {resolution: norm_coords [B, N, 3]} dict from
+        train/trainer.py::presort_batch — rows sorted ONCE by the FIRST
+        (finest) PVConv's devoxelize base bin (normalize=False here). The
+        finest grid's bin order clusters every coarser PVConv's bins per
+        x-slab (the nested-presort contract, see ops/devoxelize.py), so ALL
+        resolution groups run the zero-gather assume_sorted kernels with no
+        mid-network re-sorts. All per-point ops are order-agnostic, so
+        outputs are simply in the presorted point order."""
         in_channels = self.extra_feature_channels + 3
         features = inputs[..., :in_channels]
         one_hot_vectors = inputs[..., -self.num_shapes:]
@@ -51,31 +51,14 @@ class PVCNN(nn.Module):
                 dtype=self.dtype)
 
         out_features_list = [one_hot_vectors]
-        perm_out = None
-        precomputed = None
-        cur_res = None
+        r0 = max(presorted) if presorted else None   # the (finest) sort key
         for layer in point_layers:
             if isinstance(layer, PVConv):
-                if presorted is not None and layer.resolution != cur_res:
-                    if cur_res is None:
-                        precomputed = presorted   # the trainer's sort
-                        cur_res = layer.resolution
-                    elif mid_resort_enabled():
-                        # re-sort ONCE per resolution group (one packed row
-                        # gather) so this group's PVConvs also run the
-                        # zero-gather assume_sorted kernels; the trainer
-                        # permutes labels by the returned perm
-                        (out_features_list, features, coords,
-                         one_hot_vectors, precomputed, perm_out) = \
-                            resort_for_next_resolution(
-                                out_features_list, features, coords,
-                                one_hot_vectors, layer.resolution,
-                                normalize=False, prev_perm=perm_out)
-                        cur_res = layer.resolution
+                r = layer.resolution
+                pre = presorted.get(r) if presorted else None
                 features, _ = layer(
-                    features, coords, train=train,
-                    precomputed=(precomputed
-                                 if layer.resolution == cur_res else None))
+                    features, coords, train=train, precomputed=pre,
+                    sort_ratio=r0 // r if pre is not None else 1)
             else:
                 features = layer(features, train=train)
             out_features_list.append(features)
@@ -93,9 +76,4 @@ class PVCNN(nn.Module):
         # through SplitDense — Dense(concat(xs)) without the ~1.2k-channel
         # concat buffer (see nn/shared_mlp.py)
         features = classifier[0](out_features_list, train=train)
-        logits = apply_layers(classifier[1:], features, train=train)
-        if presorted is not None:
-            # logits are in the LAST resort's point order; perm_out maps it
-            # back to the caller's (trainer-presorted) order for the labels
-            return logits, perm_out
-        return logits
+        return apply_layers(classifier[1:], features, train=train)

@@ -22,7 +22,7 @@ from pvcnn_tpu.nn import (DenseBNReLU, PVConv, PointNetAModule, PointNetFPModule
 
 __all__ = ["create_mlp_components", "create_pointnet_components",
            "create_pointnet2_sa_components", "create_pointnet2_fp_modules",
-           "apply_layers", "Dense"]
+           "apply_layers", "Dense", "pvconv_resolutions"]
 
 Dense = nn.Dense  # final classifier layer (reference: 1x1 Conv1d / Linear)
 
@@ -39,75 +39,13 @@ def apply_layers(layers, x, train: bool, rngs_ok: bool = True):
     return x
 
 
-def mid_resort_enabled() -> bool:
-    """Gate for re-sorting the point axis at each PVConv resolution-group
-    boundary (resort_for_next_resolution). Default OFF: same-session A/Bs
-    measured it neutral at the headline 0.25x config (32.55 vs 32.60 ms) and
-    a 2.3% REGRESSION on ShapeNet 1x fp32 (95.1 vs 93.0 ms — at 1x the next
-    group's sorted-kernel plans often don't fit, so the re-sort gather is
-    pure cost). Kept opt-in (PVCNN_TPU_MID_RESORT=1): the formulation is
-    exact (test_presort_full_pvcnn_matches_unsorted) and the crossover may
-    move with future kernel plans. Read at trace time: A/B with one process
-    per setting."""
-    import os
-
-    return os.environ.get("PVCNN_TPU_MID_RESORT", "0") == "1"
-
-
-def resort_for_next_resolution(out_list, features, coords, one_hot,
-                               resolution: int, normalize: bool, prev_perm,
-                               eps: float = 0.0):
-    """Re-sort the point axis into `resolution`'s devoxelize base-bin order
-    (one packed row gather) so the next PVConv group runs the zero-gather
-    assume_sorted kernels (ops/devoxelize.py). Everything downstream is
-    order-agnostic per point; the caller must permute per-point labels by
-    the returned perm (train/trainer.py does).
-
-    out_list entries, coords, one_hot and the freshly computed norm coords
-    ride ONE payload gather (row gathers are dispatch-bound — width is
-    free); norm is then passed THROUGH to the PVConvs, keeping the
-    sortedness promise exact. `features` must be one of out_list's entries.
-    Returns (out_list, features, coords, one_hot, norm_sorted, perm) with
-    perm composed onto prev_perm (both index the caller's original order).
-    """
-    import jax
-
-    from pvcnn_tpu import ops
-
-    r = int(resolution)
-    _, norm = ops.normalize_coords(coords, r, normalize=normalize, eps=eps)
-    lo = jnp.floor(jnp.swapaxes(norm, 1, 2)).astype(jnp.int32)
-    key = lo[:, 0] * (r * r) + lo[:, 1] * r + lo[:, 2]
-    b, n = key.shape
-    _, perm = jax.lax.sort_key_val(
-        key, jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n)),
-        dimension=1)
-
-    segs = list(out_list)
-    feat_pos = next(i for i, t in enumerate(segs) if t is features)
-    oh_pos = None
-    if one_hot is not None:
-        oh_pos = next((i for i, t in enumerate(segs) if t is one_hot), None)
-        if oh_pos is None:
-            segs.append(one_hot)
-            oh_pos = len(segs) - 1
-    tail = [jax.lax.stop_gradient(coords), jax.lax.stop_gradient(norm)]
-    dtypes = [t.dtype for t in segs]
-    widths = [t.shape[-1] for t in segs + tail]
-    payload = jnp.concatenate(
-        [t.astype(jnp.float32) for t in segs] + tail, axis=-1)
-    pay = jnp.take_along_axis(payload, perm[..., None], axis=1)
-    outs, off = [], 0
-    for w in widths:
-        outs.append(pay[..., off:off + w])
-        off += w
-    segs_s = [o.astype(dt) for o, dt in zip(outs[:len(segs)], dtypes)]
-    coords_s = jax.lax.stop_gradient(outs[len(segs)])
-    norm_s = jax.lax.stop_gradient(outs[len(segs) + 1])
-    combined = (perm if prev_perm is None
-                else jnp.take_along_axis(prev_perm, perm, axis=1))
-    return (segs_s[:len(out_list)], segs_s[feat_pos], coords_s,
-            None if oh_pos is None else segs_s[oh_pos], norm_s, combined)
+def pvconv_resolutions(blocks, voxel_resolution_multiplier: float = 1):
+    """Ordered unique PVConv grid resolutions of a `blocks` spec (first entry
+    = the first/finest PVConv — the trainer presort's sort key). Mirrors the
+    scaling in create_pointnet_components (reference models/utils.py:48)."""
+    vr = voxel_resolution_multiplier
+    rs = [int(vr * r) for _, _, r in blocks if r is not None]
+    return tuple(dict.fromkeys(rs))
 
 
 def create_mlp_components(in_channels: int, out_channels: Sequence,

@@ -72,15 +72,19 @@ class PVConv(nn.Module):
 
     @nn.compact
     def __call__(self, features, coords, train: bool = False,
-                 precomputed=None):
+                 precomputed=None, sort_ratio: int = 1):
         """features [B, N, C], coords [B, N, 3] -> (fused [B, N, C'], coords).
 
         precomputed: optional norm_coords [B, N, 3] for THIS resolution,
-        with rows presorted by ops.corner_base_bins(norm_coords, resolution)
-        (the trainer presort, train/trainer.py::presort_batch). Passing the
-        values through — rather than recomputing them from the permuted
-        coords — is what makes the sortedness promise exact: normalize's
-        per-cloud mean/max reductions are not bit-stable under permutation.
+        with rows presorted by ops.corner_base_bins at resolution
+        sort_ratio * self.resolution (the trainer presort,
+        train/trainer.py::presort_batch — sort_ratio 1 means sorted by THIS
+        grid's bins; a power-of-two ratio > 1 means sorted by the finest
+        PVConv's grid, which clusters this grid's bins per x-slab — the
+        nested-presort contract, see ops/devoxelize.py). Passing the values
+        through — rather than recomputing them from the permuted coords — is
+        what makes the sortedness promise exact: normalize's per-cloud
+        mean/max reductions are not bit-stable under permutation.
         """
         if precomputed is None:
             grid, norm_coords = Voxelization(
@@ -93,7 +97,8 @@ class PVConv(nn.Module):
             # scatter when no kernel plan fits; identical results)
             from pvcnn_tpu.ops.voxelize import avg_voxelize_sorted
             grid = avg_voxelize_sorted(features, norm_coords,
-                                       self.resolution)
+                                       self.resolution,
+                                       sort_ratio=sort_ratio)
             assume_sorted = True
 
         k = int(self.kernel_size)
@@ -130,7 +135,7 @@ class PVConv(nn.Module):
 
         voxel_features = ops.trilinear_devoxelize(grid, norm_coords,
                                                   self.resolution,
-                                                  assume_sorted)
+                                                  assume_sorted, sort_ratio)
         point_features = SharedMLP([self.out_channels], dtype=self.dtype)(
             features, train=train
         )

@@ -105,9 +105,10 @@ def corner_base_bins(norm_coords: jnp.ndarray, r: int):
     return lo[..., 0] * (r * r) + lo[..., 1] * r + lo[..., 2]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def trilinear_devoxelize(grid: jnp.ndarray, norm_coords: jnp.ndarray,
-                         resolution: int, assume_sorted: bool = False):
+                         resolution: int, assume_sorted: bool = False,
+                         sort_ratio: int = 1):
     """Interpolate voxel features back to points.
 
     Args:
@@ -122,11 +123,23 @@ def trilinear_devoxelize(grid: jnp.ndarray, norm_coords: jnp.ndarray,
                    payload, output un-permute, and backward payload gathers
                    are each ~0.75-0.9 ms dispatch-bound at 131K rows).
                    Results are garbage if the promise is false.
+      sort_ratio:  with assume_sorted, the (power-of-two) ratio between the
+                   SORT grid's resolution and this one: rows were sorted by
+                   `corner_base_bins(., sort_ratio * R)`. Because
+                   normalize_coords scales by R exactly, the finer grid's
+                   bin order CLUSTERS this grid's bins per x-slab
+                   (x_R = x_{kR} // k bit-exactly), and the sorted kernels
+                   only need rows grouped per bin tile in tile order — so one
+                   batch presort by the FINEST PVConv grid serves every
+                   coarser PVConv with zero mid-network re-sorts. Kernel
+                   plans are then restricted to tiles covering whole x-slabs
+                   (tile_v % R^2 == 0).
 
     Returns:
       [B, N, C] per-point features.
     """
-    out, _ = _devox_fwd(grid, norm_coords, resolution, assume_sorted)
+    out, _ = _devox_fwd(grid, norm_coords, resolution, assume_sorted,
+                        sort_ratio)
     return out
 
 
@@ -169,19 +182,11 @@ def _fwd_pack(n: int, r3: int, c: int, dtype) -> int:
     dominate the table build (8N >= 2R^3) and the grid is in the slow-gather
     regime; the interleaved p2/p4 tables lower poorly and never win.
     Overridable via PVCNN_TPU_DEVOX_FWD_PACK."""
-    import os
+    from pvcnn_tpu.utils import knobs
 
-    forced = os.environ.get("PVCNN_TPU_DEVOX_FWD_PACK")
-    if forced:
-        try:
-            forced = int(forced)
-        except ValueError:
-            forced = -1
-        if forced not in (1, 2, 4, 8):
-            raise ValueError(
-                "PVCNN_TPU_DEVOX_FWD_PACK must be one of 1, 2, 4, 8 (corner "
-                f"pack level), got {os.environ['PVCNN_TPU_DEVOX_FWD_PACK']!r}")
-        return forced
+    forced = knobs.get("PVCNN_TPU_DEVOX_FWD_PACK")
+    if forced != "auto":
+        return int(forced)
     if 8 * n >= 2 * r3 and (dtype == jnp.bfloat16
                             or r3 * c * 4 > 2 * 1024 * 1024):
         return 8
@@ -226,10 +231,13 @@ def _sorted_gather_fwd(grid, idx8, w8, r3):
     return out.astype(grid.dtype)
 
 
-def _presorted_gather_fwd(grid, idx8_t, w8_t, r3):
+def _presorted_gather_fwd(grid, idx8_t, w8_t, r3, tile_align=1):
     """assume_sorted forward: rows already sorted by base bin — run the
     sorted gather kernel directly (no sort, no payload permute, no output
     un-permute; corners arrive in the kernel's native [B, 8, N] layout).
+    tile_align > 1: rows are only CLUSTERED by this grid's bins (nested
+    presort) — restrict tiles to whole x-slabs; bin_starts stays correct
+    because it is an order-independent count and the tile index is monotone.
     None if the kernel's plan doesn't fit."""
     from pvcnn_tpu.ops.pallas.sorted_gather import (sorted_devox_gather,
                                                     sorted_gather_plan)
@@ -239,30 +247,35 @@ def _presorted_gather_fwd(grid, idx8_t, w8_t, r3):
     c = grid.shape[-1]
     r = grid.shape[1]
     offs = _corner_offsets(r)
-    plan = sorted_gather_plan(r3, n, c, offs[-1], grid.dtype, b)
+    plan = sorted_gather_plan(r3, n, c, offs[-1], grid.dtype, b, tile_align)
     if plan is None:
         return None
     base = idx8_t[:, 0, :]
     starts = bin_starts(base, r3, plan[0])
     out = sorted_devox_gather(grid.reshape(b, r3, c), base,
-                              w8_t.astype(jnp.float32), starts, r3, offs)
+                              w8_t.astype(jnp.float32), starts, r3, offs,
+                              tile_align=tile_align)
     return out.astype(grid.dtype)
 
 
-def _devox_fwd(grid, norm_coords, resolution, assume_sorted=False):
+def _devox_fwd(grid, norm_coords, resolution, assume_sorted=False,
+               sort_ratio=1):
     r = int(resolution)
     b, _, _, _, c = grid.shape
     assert grid.shape[1] == r
     n = norm_coords.shape[1]
     r3 = r * r * r
-    interpret = os.environ.get("PVCNN_TPU_PALLAS_INTERPRET") == "1"
+    tile_align = r * r if (assume_sorted and sort_ratio > 1) else 1
+    from pvcnn_tpu.utils import knobs
+
+    interpret = knobs.get("PVCNN_TPU_PALLAS_INTERPRET")
     on_tpu = interpret or jax.default_backend() == "tpu"
     if assume_sorted and on_tpu and c % 8 == 0 and r3 % 128 == 0:
         # transposed corner math (one small relayout of norm_coords); the
         # residuals are the transposed forms — _devox_bwd's assume_sorted
         # trace expects them
         idx8_t, w8_t = _corners_t(jnp.swapaxes(norm_coords, 1, 2), r)
-        out = _presorted_gather_fwd(grid, idx8_t, w8_t, r3)
+        out = _presorted_gather_fwd(grid, idx8_t, w8_t, r3, tile_align)
         if out is not None:
             return out, (idx8_t, w8_t)
     idx8, w8 = _corners(norm_coords, r)
@@ -270,16 +283,14 @@ def _devox_fwd(grid, norm_coords, resolution, assume_sorted=False):
         # plan didn't fit: fall through to the general formulations, which
         # are order-agnostic; bwd keys on residual layout ([B, N, 8] here)
         pass
-    sorted_mode = os.environ.get("PVCNN_TPU_DEVOX_FWD_SORTED", "auto")
+    sorted_mode = knobs.get("PVCNN_TPU_DEVOX_FWD_SORTED")
     # the FORWARD's sorted-gather threshold is lower than the backward's:
     # with the flat-rows conv branch (round 3) the sorted gather also beats
     # the packed-table path at R=16 in-step (35.40 -> 34.69 ms headline),
     # while the backward's sorted scatter still loses there (38.4 ms with
     # SORTED_MIN_BINS=4096) — its permutation gather is pricier than the
     # table saving at 4096 bins.
-    min_bins = int(os.environ.get(
-        "PVCNN_TPU_DEVOX_FWD_MIN_BINS",
-        os.environ.get("PVCNN_TPU_SORTED_MIN_BINS", "4096")))
+    min_bins = knobs.get("PVCNN_TPU_DEVOX_FWD_MIN_BINS")
     if sorted_mode != "0" and on_tpu and c % 8 == 0 and r3 % 128 == 0 and (
             sorted_mode == "1" or r3 >= min_bins):
         out = _sorted_gather_fwd(grid, idx8, w8, r3)
@@ -292,7 +303,9 @@ def _devox_fwd(grid, norm_coords, resolution, assume_sorted=False):
         shifts = offs[:pack]                # within-group corner offsets
         groups = 8 // pack
         padded = jnp.pad(flat, ((0, 0), (0, shifts[-1]), (0, 0)))
-        if os.environ.get("PVCNN_TPU_DEVOX_PACK_BUILD", "concat") == "stack":
+        from pvcnn_tpu.utils import knobs
+
+        if knobs.get("PVCNN_TPU_DEVOX_PACK_BUILD") == "stack":
             packed = jnp.stack([
                 jax.lax.dynamic_slice_in_dim(padded, o, r3, axis=1)
                 for o in shifts
@@ -431,7 +444,7 @@ def _packed_scatter_call(values8, idx8, r3, offs, num_corners, c, md):
                               offs[:num_corners], c, md)
 
 
-def _presorted_pallas_scatter(g, w8_t, idx8_t, r3, offs, md):
+def _presorted_pallas_scatter(g, w8_t, idx8_t, r3, offs, md, tile_align=1):
     """assume_sorted backward: the cotangent rows arrive in base-bin-sorted
     order (the network runs in the presorted point order), so the scatter
     kernel takes [g, w8]-built values directly — no sort, no payload
@@ -442,15 +455,27 @@ def _presorted_pallas_scatter(g, w8_t, idx8_t, r3, offs, md):
     per group: group gk's base bins are the sort key plus the constant
     offs[gk*nc], so each call's rows are still globally sorted — unlike the
     unsorted-payload path, which must concatenate groups on the row axis and
-    thereby interleaves two sorted sequences. None if no plan fits."""
+    thereby interleaves two sorted sequences. None if no plan fits.
+
+    tile_align > 1 (nested presort — rows only CLUSTERED per tile): a group
+    offset keeps the tile index monotone only if it is a multiple of tile_v
+    (a sub-tile shift interleaves tile t and t+1 rows), so grouped calls
+    additionally require offs[gk*nc] % tile_v == 0 — with offs[4] = R^2 and
+    tile_align = R^2 that means tile_v == R^2 for nc=4, and nc=2 (group
+    offsets R, R^2+R) is never clustered-safe."""
     from pvcnn_tpu.ops.pallas.sorted_scatter import (bin_starts,
                                                      sorted_scatter_add,
                                                      sorted_scatter_plan)
 
+    import math
+
     b, n, c = g.shape
     g_t = jnp.swapaxes(g, 1, 2)                              # [B, C, N]
     for nc in (8, 4, 2):
-        plan = sorted_scatter_plan(r3, n, nc * c, c, offs[nc - 1], md, b)
+        td = (math.gcd(*(offs[gk * nc] for gk in range(1, 8 // nc)))
+              if (tile_align > 1 and nc < 8) else 0)
+        plan = sorted_scatter_plan(r3, n, nc * c, c, offs[nc - 1], md, b,
+                                   tile_align, tile_divides=td)
         if plan is None:
             continue
         out = None
@@ -471,13 +496,15 @@ def _presorted_pallas_scatter(g, w8_t, idx8_t, r3, offs, md):
                         * g_t[:, None, :, :]).reshape(b, nc * c, n)
             part = sorted_scatter_add(values_t, base, starts, r3,
                                       offs[:nc], c, md,
-                                      values_transposed=True)
+                                      values_transposed=True,
+                                      tile_align=tile_align,
+                                      tile_divides=td)
             out = part if out is None else out + part
         return out
     return None
 
 
-def _devox_bwd(resolution, assume_sorted, residuals, g):
+def _devox_bwd(resolution, assume_sorted, sort_ratio, residuals, g):
     import os
 
     from pvcnn_tpu.ops.pallas.scatter import _mm_dtype, pallas_scatter_supported
@@ -489,22 +516,26 @@ def _devox_bwd(resolution, assume_sorted, residuals, g):
     r3 = r * r * r
     md = _mm_dtype()
     offs = _corner_offsets(r)
-    interpret = os.environ.get("PVCNN_TPU_PALLAS_INTERPRET") == "1"
+    tile_align = r * r if (assume_sorted and sort_ratio > 1) else 1
+    from pvcnn_tpu.utils import knobs
+
+    interpret = knobs.get("PVCNN_TPU_PALLAS_INTERPRET")
     on_tpu = interpret or jax.default_backend() == "tpu"
     if assume_sorted and on_tpu and c % 8 == 0 and r3 % 128 == 0:
         # did the fwd take the presorted branch? re-derive its plan decision
         # (same inputs -> same answer); if yes the residuals are the
         # TRANSPOSED [B, 8, N] forms
         from pvcnn_tpu.ops.pallas.sorted_gather import sorted_gather_plan
-        if sorted_gather_plan(r3, n, c, offs[-1], g.dtype, b) is not None:
+        if sorted_gather_plan(r3, n, c, offs[-1], g.dtype, b,
+                              tile_align) is not None:
             idx8_t, w8_t = idx8, w8
             # above this width the grouped presorted scatter (2-4 kernel
             # calls + grid adds) loses to the gather-free unsorted packed
             # kernel below — knob for in-step A/B, one process per setting
-            max_c = int(os.environ.get("PVCNN_TPU_PRESORTED_BWD_MAX_C", "16"))
+            max_c = knobs.get("PVCNN_TPU_PRESORTED_BWD_MAX_C")
             if c <= max_c:
                 dflat = _presorted_pallas_scatter(g, w8_t, idx8_t, r3, offs,
-                                                  md)
+                                                  md, tile_align)
                 if dflat is not None:
                     return (dflat.reshape(b, r, r, r, c).astype(g.dtype),
                             None)
@@ -519,7 +550,7 @@ def _devox_bwd(resolution, assume_sorted, residuals, g):
     # dispatch-bound permutation row-gather) doesn't — at R<=16 the gather
     # costs more than the matmul saving (profiled on v5e; re-measured at the
     # round-2 headline, see PVCNN_TPU_SORTED_MIN_BINS experiments).
-    min_bins = int(os.environ.get("PVCNN_TPU_SORTED_MIN_BINS", "16384"))
+    min_bins = knobs.get("PVCNN_TPU_SORTED_MIN_BINS")
     if on_tpu and c % 8 == 0 and c <= 64 and r3 % 128 == 0 and r3 >= min_bins:
         dflat = _sorted_pallas_scatter(g, w8, idx8, r3, offs, k, md)
         if dflat is not None:

@@ -52,7 +52,15 @@ __all__ = ["conv3d_rows", "conv_rows_supported"]
 
 
 def _interpret() -> bool:
-    return os.environ.get("PVCNN_TPU_PALLAS_INTERPRET", "0") == "1"
+    from pvcnn_tpu.utils import knobs
+
+    return knobs.get("PVCNN_TPU_PALLAS_INTERPRET")
+
+
+def _cost_record(name, flops, bytes_accessed):
+    from pvcnn_tpu.ops.pallas import cost
+
+    cost.record(name, flops=flops, bytes_accessed=bytes_accessed)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -108,7 +116,9 @@ def conv_rows_plan(b, r, ci, co, k, dtype):
 
 
 def conv_rows_supported(b, r, ci, co, k, dtype) -> bool:
-    if os.environ.get("PVCNN_TPU_CONV_ROWS", "auto") == "0":
+    from pvcnn_tpu.utils import knobs
+
+    if knobs.get("PVCNN_TPU_CONV_ROWS") == "0":
         return False
     if not (_interpret() or jax.default_backend() == "tpu"):
         return False
@@ -308,8 +318,17 @@ def _run_fwd(x, kernel, r, out_dtype=None, plan=None, padded=False):
     tile, n_tiles, chunk, ci_pad, co_pad, c0 = plan
     b, r3 = x.shape[0], r ** 3
     span = chunk + (k - 1) * r * r
-    x_specs, pad_total, single, _ = _x_specs(b, ci_pad, tile, n_tiles, c0, r3)
+    x_specs, pad_total, single, xblock = _x_specs(b, ci_pad, tile, n_tiles,
+                                                  c0, r3)
     xe = x if padded else _pad_rows(x, ci_pad, c0, pad_total, r3)
+    mb = jnp.dtype(xe.dtype).itemsize
+    # partial-kx dot: [k*co_pad, k^2*ci_pad] @ [k^2*ci_pad, span] per chunk
+    _cost_record("conv_rows_fwd",
+                 flops=2.0 * b * n_tiles * (tile // chunk)
+                       * (k * co_pad) * (k * k * ci_pad) * span,
+                 bytes_accessed=b * ((1 if single else 2) * n_tiles
+                                     * ci_pad * xblock * mb
+                                     + co_pad * r3 * mb))
     w2 = _pack_w_fwd(kernel.astype(xe.dtype), ci_pad, co_pad)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, k, r, tile, chunk, single),
@@ -340,8 +359,15 @@ def _run_wgrad(xe, g, r, k, ci, plan):
     co = g.shape[1]
     tile, n_tiles, chunk, ci_pad, co_pad, c0 = plan
     span = chunk + (k - 1) * r * r
-    x_specs, _, single, _ = _x_specs(b, ci_pad, tile, n_tiles, c0, r3)
+    x_specs, _, single, xblock = _x_specs(b, ci_pad, tile, n_tiles, c0, r3)
     ge = jnp.pad(g, ((0, 0), (0, co_pad - co), (0, 0)))
+    mb = jnp.dtype(xe.dtype).itemsize
+    # k^3-packed lane contraction: [co_pad, chunk] @ [k^3*ci_pad, chunk]^T
+    _cost_record("conv_rows_wgrad",
+                 flops=2.0 * b * co_pad * k ** 3 * ci_pad * r3,
+                 bytes_accessed=b * ((1 if single else 2) * n_tiles
+                                     * ci_pad * xblock * mb
+                                     + co_pad * r3 * mb))
     out = pl.pallas_call(
         functools.partial(_wgrad_kernel, k, r, tile, chunk, single),
         out_shape=jax.ShapeDtypeStruct((co_pad, k ** 3 * ci_pad),

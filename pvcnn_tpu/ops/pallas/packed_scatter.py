@@ -43,7 +43,9 @@ __all__ = ["packed_scatter_add", "packed_scatter_plan"]
 
 
 def _interpret() -> bool:
-    return os.environ.get("PVCNN_TPU_PALLAS_INTERPRET", "0") == "1"
+    from pvcnn_tpu.utils import knobs
+
+    return knobs.get("PVCNN_TPU_PALLAS_INTERPRET")
 
 
 def packed_scatter_plan(num_bins: int, rows: int, kc: int, c: int,
@@ -197,7 +199,23 @@ def packed_scatter_add(values: jnp.ndarray, base_idx: jnp.ndarray,
               invariant); they are silently dropped.
     Returns [B, num_bins, C] float32.
     """
+    from pvcnn_tpu.ops.pallas import cost
     from pvcnn_tpu.ops.pallas.scatter import _mm_dtype
 
-    return _packed_scatter(values, base_idx, num_bins, tuple(offsets), c,
-                           mm_dtype or _mm_dtype())
+    md = mm_dtype or _mm_dtype()
+    b, kc, rows = values.shape
+    plan = packed_scatter_plan(num_bins, rows, kc, c, max(offsets), md)
+    if plan is not None:
+        tile_v, chunk_tiles, n_warm, n_slots = plan
+        n_chunks = num_bins // (tile_v * chunk_tiles)
+        mb = 4 if md == jnp.float32 else 2
+        # one [KC, rows] @ [rows, tile_v] dot per computed tile (incl. the
+        # per-chunk warm-up tiles); values/idx blocks are index-invariant
+        # over the chunk axis so Mosaic fetches them once per batch item
+        cost.record(
+            "packed_scatter",
+            flops=2.0 * b * kc * rows * tile_v
+                  * n_chunks * (chunk_tiles + n_warm),
+            bytes_accessed=b * (kc * rows * mb + rows * 4
+                                + num_bins * c * 4))
+    return _packed_scatter(values, base_idx, num_bins, tuple(offsets), c, md)

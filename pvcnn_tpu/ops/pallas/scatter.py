@@ -40,7 +40,9 @@ TILE_V = 128
 
 
 def _interpret() -> bool:
-    return os.environ.get("PVCNN_TPU_PALLAS_INTERPRET", "0") == "1"
+    from pvcnn_tpu.utils import knobs
+
+    return knobs.get("PVCNN_TPU_PALLAS_INTERPRET")
 
 
 def _tile_v(num_bins: int, n: int, mask_bytes: int) -> int:
@@ -153,6 +155,16 @@ def onehot_scatter_add(values: jnp.ndarray, idx: jnp.ndarray, num_bins: int,
                        mm_dtype=None):
     """values [B, N, C] float, idx [B, N] int32 in [0, num_bins) ->
     [B, num_bins, C] float32 scatter-sum."""
+    from pvcnn_tpu.ops.pallas import cost
+
     assert num_bins % TILE_V == 0
+    b, n, c = values.shape
+    # one [C, N] @ [N, tile_v] dot per bin tile -> 2*C*N*bins MACs-equivalent
+    # executed per batch item (the one-hot mask makes the MXU do full dense
+    # work regardless of occupancy); blocks: idx+values in, f32 out
+    cost.record("onehot_scatter",
+                flops=2.0 * b * max(c, 8) * n * num_bins,
+                bytes_accessed=b * (n * 4 + n * c * values.dtype.itemsize
+                                    + num_bins * c * 4))
     return _onehot_scatter_add(values, idx, num_bins,
                                mm_dtype or _mm_dtype())

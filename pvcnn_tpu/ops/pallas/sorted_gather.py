@@ -50,16 +50,21 @@ __all__ = ["sorted_devox_gather", "sorted_gather_plan"]
 
 
 def _interpret() -> bool:
-    return os.environ.get("PVCNN_TPU_PALLAS_INTERPRET", "0") == "1"
+    from pvcnn_tpu.utils import knobs
+
+    return knobs.get("PVCNN_TPU_PALLAS_INTERPRET")
 
 
 def sorted_gather_plan(num_bins: int, rows: int, c: int, off_max: int,
-                       mm_dtype, batch: int):
+                       mm_dtype, batch: int, tile_align: int = 1):
     """Pick (tile_v, chunk_tiles, bs), or None if infeasible.
 
     chunk_tiles * tile_v is the grid-block span per pipeline step; the kernel
     reads chunk j and j+1 so corner offsets (<= off_max) can spill past the
     chunk edge, which requires chunk_rows >= (off_max // tile_v + 2) * tile_v.
+
+    tile_align: see sorted_scatter_plan — rows clustered (not sorted) by this
+    grid's bins need tiles that cover whole x-slabs (tile_v % R^2 == 0).
     """
     if rows % 8 or c % 8 or c > 64 or 8 * c > 512:
         return None
@@ -68,7 +73,7 @@ def sorted_gather_plan(num_bins: int, rows: int, c: int, off_max: int,
     if rows % bs:
         return None
     for tile_v in (512, 256):
-        if num_bins % tile_v:
+        if num_bins % tile_v or tile_v % tile_align:
             continue
         n_tiles = num_bins // tile_v
         spill = off_max // tile_v + 2
@@ -166,11 +171,13 @@ def _gather_kernel(mm_dtype, precision, tile_v, chunk_tiles, bs, offsets, c,
     jax.lax.fori_loop(0, chunk_tiles // u, step, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6))
-def _sorted_gather(grid_flat, idx_s, w_s, starts, num_bins, offsets, mm_dtype):
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _sorted_gather(grid_flat, idx_s, w_s, starts, num_bins, offsets, mm_dtype,
+                   tile_align=1):
     b, _, c = grid_flat.shape
     rows = idx_s.shape[1]
-    plan = sorted_gather_plan(num_bins, rows, c, max(offsets), mm_dtype, b)
+    plan = sorted_gather_plan(num_bins, rows, c, max(offsets), mm_dtype, b,
+                              tile_align)
     assert plan is not None, (num_bins, rows, c)
     tile_v, chunk_tiles, bs = plan
     assert starts.shape[1] == num_bins // tile_v + 1
@@ -215,7 +222,7 @@ def _sorted_gather(grid_flat, idx_s, w_s, starts, num_bins, offsets, mm_dtype):
 
 def sorted_devox_gather(grid_flat: jnp.ndarray, idx_s: jnp.ndarray,
                         w_s: jnp.ndarray, starts: jnp.ndarray, num_bins: int,
-                        offsets, mm_dtype=None):
+                        offsets, mm_dtype=None, tile_align: int = 1):
     """Weighted 8-corner gather of PRE-SORTED rows (see `sort_rows`).
 
     grid_flat: [B, num_bins, C] voxel features (flat row-major grid).
@@ -230,5 +237,25 @@ def sorted_devox_gather(grid_flat: jnp.ndarray, idx_s: jnp.ndarray,
     grid_flat[b, idx_s[b, r] + offsets[k]] — in SORTED row order; the caller
     un-permutes.
     """
+    from pvcnn_tpu.ops.pallas import cost
+
+    md = mm_dtype or grid_flat.dtype
+    b, _, c = grid_flat.shape
+    rows = idx_s.shape[1]
+    plan = sorted_gather_plan(num_bins, rows, c, max(offsets), md, b,
+                              tile_align)
+    if plan is not None:
+        tile_v, chunk_tiles, bs = plan
+        n_tiles = num_bins // tile_v
+        mb = jnp.dtype(md).itemsize
+        # one [8C, tile_v] @ [tile_v, bs] dot per row block (~rows/bs +
+        # n_tiles blocks) + the 8-corner weighting (VPU, ~8*c*bs per block);
+        # the grid is streamed twice (overlapping j / j+1 chunk windows)
+        cost.record(
+            "sorted_gather",
+            flops=(2.0 * 8 * c * tile_v + 2.0 * 8 * c)
+                  * b * (rows + n_tiles * bs),
+            bytes_accessed=b * (2 * num_bins * c * mb + rows * 4
+                                + 8 * rows * 4 + c * rows * 4))
     return _sorted_gather(grid_flat, idx_s, w_s, starts, num_bins,
-                          tuple(offsets), mm_dtype or grid_flat.dtype)
+                          tuple(offsets), md, tile_align)

@@ -43,12 +43,26 @@ __all__ = ["sorted_scatter_add", "sorted_scatter_plan", "sort_rows", "bin_starts
 
 
 def _interpret() -> bool:
-    return os.environ.get("PVCNN_TPU_PALLAS_INTERPRET", "0") == "1"
+    from pvcnn_tpu.utils import knobs
+
+    return knobs.get("PVCNN_TPU_PALLAS_INTERPRET")
 
 
 def sorted_scatter_plan(num_bins: int, rows: int, kc: int, c: int,
-                        off_max: int, mm_dtype, batch: int):
-    """Pick (tile_v, chunk_tiles, bs), or None if infeasible."""
+                        off_max: int, mm_dtype, batch: int,
+                        tile_align: int = 1, tile_divides: int = 0):
+    """Pick (tile_v, chunk_tiles, bs), or None if infeasible.
+
+    tile_align > 1: only tiles that are a whole multiple of it are allowed —
+    callers whose rows are merely CLUSTERED by a coarser grid's x-slabs
+    (sorted by a FINER grid's bins, the nested-presort contract) pass
+    tile_align = R'^2 so each bin tile covers whole x-slabs and the
+    clustered order still groups rows per tile.
+
+    tile_divides > 0: tile_v must also DIVIDE this value — grouped callers
+    (nc < 8 corner groups, bins shifted by multiples of offs[nc]) under the
+    clustered contract need every group shift to be a whole number of tiles,
+    or the shifted rows interleave neighboring tiles' windows."""
     if rows % 8 or c % 8 or kc % 8 or kc > 128:
         return None
     mm_bytes = 4 if mm_dtype == jnp.float32 else 2
@@ -58,7 +72,9 @@ def sorted_scatter_plan(num_bins: int, rows: int, kc: int, c: int,
     if rows % bs:
         return None
     for tile_v in (512, 256, 128):
-        if num_bins % tile_v:
+        if num_bins % tile_v or tile_v % tile_align:
+            continue
+        if tile_divides and tile_divides % tile_v:
             continue
         n_slots = off_max // tile_v + 2
         n_tiles = num_bins // tile_v
@@ -177,15 +193,15 @@ def sort_rows(base_idx: jnp.ndarray, num_bins: int, tile_v: int):
     return idx_s, perm, bin_starts(idx_s, num_bins, tile_v)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _sorted_scatter(values_s, idx_s, starts, num_bins, offsets, c, mm_dtype,
-                    values_transposed=False):
+                    values_transposed=False, tile_align=1, tile_divides=0):
     if values_transposed:                    # [B, kc, rows] — kernel-native
         b, kc, rows = values_s.shape
     else:
         b, rows, kc = values_s.shape
     plan = sorted_scatter_plan(num_bins, rows, kc, c, max(offsets), mm_dtype,
-                               b)
+                               b, tile_align, tile_divides)
     assert plan is not None, (num_bins, rows, kc, c)
     tile_v, chunk_tiles, bs = plan
     assert starts.shape[1] == num_bins // tile_v + 1
@@ -223,20 +239,44 @@ def _sorted_scatter(values_s, idx_s, starts, num_bins, offsets, c, mm_dtype,
 
 def sorted_scatter_add(values_s: jnp.ndarray, idx_s: jnp.ndarray,
                        starts: jnp.ndarray, num_bins: int, offsets, c: int,
-                       mm_dtype=None, values_transposed: bool = False):
+                       mm_dtype=None, values_transposed: bool = False,
+                       tile_align: int = 1, tile_divides: int = 0):
     """Corner-packed scatter-add of PRE-SORTED rows (see `sort_rows`).
 
     values_s: [B, rows, K*C] — row r's channel block k*C:(k+1)*C is scattered
               into bin `idx_s[b, r] + offsets[k]`. Rows must be sorted by
-              idx_s along axis 1 (values gathered through the sort perm).
+              idx_s along axis 1 (values gathered through the sort perm) —
+              or merely CLUSTERED per bin tile in tile order, which is what
+              the nested presort provides at coarser resolutions when
+              tile_align = R^2 (the in-tile one-hot locates exact bins, so
+              within-tile order is free).
     idx_s:    [B, rows] int32 sorted base bins in [0, num_bins).
     starts:   [B, n_tiles+1] tile row-window bounds from `sort_rows` (must be
               built with the tile_v the plan picks — both read
-              `sorted_scatter_plan`).
+              `sorted_scatter_plan`, so pass the same tile_align).
     Contributions landing at bins >= num_bins MUST carry zero values (the
     trilinear-weight invariant); they are dropped. Returns [B, bins, C] f32.
     """
+    from pvcnn_tpu.ops.pallas import cost
     from pvcnn_tpu.ops.pallas.scatter import _mm_dtype
 
+    md = mm_dtype or _mm_dtype()
+    if values_transposed:
+        b, kc, rows = values_s.shape
+    else:
+        b, rows, kc = values_s.shape
+    plan = sorted_scatter_plan(num_bins, rows, kc, c, max(offsets), md, b,
+                               tile_align, tile_divides)
+    if plan is not None:
+        tile_v, chunk_tiles, bs = plan
+        n_tiles = num_bins // tile_v
+        mb = 4 if md == jnp.float32 else 2
+        # one [kc, bs] @ [bs, tile_v] dot per row block; block windows round
+        # to bs and straddle tile bounds, so ~rows/bs + n_tiles blocks total
+        cost.record(
+            "sorted_scatter",
+            flops=2.0 * b * kc * tile_v * (rows + n_tiles * bs),
+            bytes_accessed=b * (kc * rows * mb + rows * 4
+                                + num_bins * c * 4))
     return _sorted_scatter(values_s, idx_s, starts, num_bins, tuple(offsets),
-                           c, mm_dtype or _mm_dtype(), values_transposed)
+                           c, md, values_transposed, tile_align, tile_divides)

@@ -21,6 +21,7 @@ module (modules/voxelization.py:16-25).
 from __future__ import annotations
 
 import functools
+import math as _math
 
 import jax
 import jax.numpy as jnp
@@ -66,14 +67,13 @@ def _scatter_sum(values: jnp.ndarray, idx: jnp.ndarray, num_bins: int):
     """values [B, N, C], idx [B, N] -> [B, num_bins, C] via the fastest
     available deterministic scatter. Large N is halved recursively until the
     Pallas kernel's VMEM budget fits (scatters are additive)."""
-    import os
-
     from pvcnn_tpu.ops.pallas.scatter import _mm_dtype
+    from pvcnn_tpu.utils import knobs as _knobs
 
     b, n, c = values.shape
     mm_dtype = _mm_dtype()
     on_tpu = (jax.default_backend() == "tpu"
-              or os.environ.get("PVCNN_TPU_PALLAS_INTERPRET") == "1")
+              or _knobs.get("PVCNN_TPU_PALLAS_INTERPRET"))
     # sorted path only where the one-hot kernel's O(C*N*bins) matmul cost is
     # large enough to beat the sort's fixed dispatch-bound row-gather
     # (profiled on v5e: loses at R=32/N=2048 with narrow C, wins at N>=4096)
@@ -172,7 +172,7 @@ def _corner_indicators(norm_t: jnp.ndarray, r: int):
 
 
 def avg_voxelize_sorted(features: jnp.ndarray, norm_coords: jnp.ndarray,
-                        resolution: int):
+                        resolution: int, sort_ratio: int = 1):
     """Presorted scatter-mean: same result as `avg_voxelize` on
     round(norm_coords) bins, for rows sorted by the FLOOR base bin
     (ops.corner_base_bins — the trainer presort key). Runs the corner-packed
@@ -180,19 +180,24 @@ def avg_voxelize_sorted(features: jnp.ndarray, norm_coords: jnp.ndarray,
     [features, ones] under the 8 round-corner indicators; backward gathers
     count-scaled grid grads under the same indicators (the gather transpose).
     Falls back to the general `avg_voxelize` when no kernel plan fits
-    (results identical either way)."""
-    import os as _os
+    (results identical either way).
 
+    sort_ratio > 1: rows sorted by the bins of the (sort_ratio*R) grid — only
+    CLUSTERED per x-slab here (the nested presort, see trilinear_devoxelize);
+    plans are tile-aligned to R^2 and grouped (nc < 8) calls additionally
+    need offs[gk*nc] % tile_v == 0 (see ops/devoxelize.py)."""
     from pvcnn_tpu.ops.pallas.scatter import _mm_dtype
     from pvcnn_tpu.ops.pallas.sorted_gather import sorted_gather_plan
     from pvcnn_tpu.ops.pallas.sorted_scatter import sorted_scatter_plan
+    from pvcnn_tpu.utils import knobs as _knobs
 
     b, n, c = features.shape
     r = int(resolution)
     r3 = r * r * r
-    interpret = _os.environ.get("PVCNN_TPU_PALLAS_INTERPRET") == "1"
+    ta = r * r if sort_ratio > 1 else 1
+    interpret = _knobs.get("PVCNN_TPU_PALLAS_INTERPRET")
     on_tpu = interpret or jax.default_backend() == "tpu"
-    if _os.environ.get("PVCNN_TPU_AVGVOX_SORTED", "0") == "0":
+    if not _knobs.get("PVCNN_TPU_AVGVOX_SORTED"):
         # Default OFF: same-session A/B at the headline config measured the
         # sorted kernels 36.31 vs 32.55 ms/step for the flat round-bin
         # scatter — the f32 corner-indicator expansion (8 x cp-padded values
@@ -204,26 +209,33 @@ def avg_voxelize_sorted(features: jnp.ndarray, norm_coords: jnp.ndarray,
     cp = -(-(c + 1) // 8) * 8                 # padded [features, ones] width
     offs = (0, 1, r, r + 1, r * r, r * r + 1, r * r + r, r * r + r + 1)
     md = _mm_dtype()
+
+    def _nc_ok(nc):
+        td = (_math.gcd(*(offs[gk * nc] for gk in range(1, 8 // nc)))
+              if (ta > 1 and nc < 8) else 0)
+        return sorted_scatter_plan(r3, n, nc * cp, cp, offs[nc - 1], md, b,
+                                   ta, tile_divides=td) is not None
+
     plan_ok = on_tpu and r3 % 128 == 0 and any(
-        sorted_scatter_plan(r3, n, nc * cp, cp, offs[nc - 1], md, b)
-        is not None for nc in (8, 4, 2)
-    ) and sorted_gather_plan(r3, n, cp, offs[-1], features.dtype, b) is not None
+        _nc_ok(nc) for nc in (8, 4, 2)
+    ) and sorted_gather_plan(r3, n, cp, offs[-1], features.dtype, b,
+                             ta) is not None
     if not plan_ok:
         norm_t = jnp.swapaxes(norm_coords, 1, 2)
         vt = jnp.round(norm_t).astype(jnp.int32)
         flat = vt[:, 0] * (r * r) + vt[:, 1] * r + vt[:, 2]
         return avg_voxelize(features, None, r, flat_idx=flat)
-    means = _avg_voxelize_sorted_flat(features, norm_coords, r)
+    means = _avg_voxelize_sorted_flat(features, norm_coords, r, ta)
     return means.reshape(b, r, r, r, c)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _avg_voxelize_sorted_flat(features, norm_coords, r):
-    out, _ = _avs_fwd(features, norm_coords, r)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _avg_voxelize_sorted_flat(features, norm_coords, r, tile_align=1):
+    out, _ = _avs_fwd(features, norm_coords, r, tile_align)
     return out
 
 
-def _avs_fwd(features, norm_coords, r):
+def _avs_fwd(features, norm_coords, r, tile_align=1):
     from pvcnn_tpu.ops.pallas.scatter import _mm_dtype
     from pvcnn_tpu.ops.pallas.sorted_scatter import (bin_starts,
                                                      sorted_scatter_add,
@@ -242,7 +254,10 @@ def _avs_fwd(features, norm_coords, r):
     ], axis=1)                                             # [B, cp, N]
     summed = None
     for nc in (8, 4, 2):
-        plan = sorted_scatter_plan(r3, n, nc * cp, cp, offs[nc - 1], md, b)
+        td = (_math.gcd(*(offs[gk * nc] for gk in range(1, 8 // nc)))
+              if (tile_align > 1 and nc < 8) else 0)
+        plan = sorted_scatter_plan(r3, n, nc * cp, cp, offs[nc - 1], md, b,
+                                   tile_align, tile_divides=td)
         if plan is None:
             continue
         for gk in range(8 // nc):
@@ -253,7 +268,9 @@ def _avs_fwd(features, norm_coords, r):
                         * featc_t[:, None, :, :]).reshape(b, nc * cp, n)
             part = sorted_scatter_add(values_t, base_g, starts, r3,
                                       offs[:nc], cp, md,
-                                      values_transposed=True)
+                                      values_transposed=True,
+                                      tile_align=tile_align,
+                                      tile_divides=td)
             summed = part if summed is None else summed + part
         break
     assert summed is not None, "caller must gate on sorted_scatter_plan"
@@ -262,7 +279,7 @@ def _avs_fwd(features, norm_coords, r):
     return means.astype(features.dtype), (base, ind8_t, counts)
 
 
-def _avs_bwd(r, residuals, g):
+def _avs_bwd(r, tile_align, residuals, g):
     from pvcnn_tpu.ops.pallas.sorted_gather import sorted_devox_gather
     from pvcnn_tpu.ops.pallas.sorted_scatter import bin_starts
     from pvcnn_tpu.ops.pallas.sorted_gather import sorted_gather_plan
@@ -273,14 +290,16 @@ def _avs_bwd(r, residuals, g):
     offs = (0, 1, r, r + 1, r * r, r * r + 1, r * r + r, r * r + r + 1)
     scaled = g / jnp.maximum(counts, 1.0)[..., None].astype(g.dtype)
     scaled = jnp.pad(scaled, ((0, 0), (0, 0), (0, cp - c)))
-    plan = sorted_gather_plan(r3, base.shape[1], cp, offs[-1], g.dtype, b)
+    plan = sorted_gather_plan(r3, base.shape[1], cp, offs[-1], g.dtype, b,
+                              tile_align)
     starts = bin_starts(base, r3, plan[0])
-    out = sorted_devox_gather(scaled, base, ind8_t, starts, r3, offs)
+    out = sorted_devox_gather(scaled, base, ind8_t, starts, r3, offs,
+                              tile_align=tile_align)
     return out[..., :c].astype(g.dtype), None
 
 
-_avg_voxelize_sorted_flat.defvjp(lambda f, nc_, r: _avs_fwd(f, nc_, r),
-                                 _avs_bwd)
+_avg_voxelize_sorted_flat.defvjp(
+    lambda f, nc_, r, ta: _avs_fwd(f, nc_, r, ta), _avs_bwd)
 
 
 def normalize_coords(coords: jnp.ndarray, resolution: int, normalize: bool = True,

@@ -39,9 +39,10 @@ def _split_batch(batch):
     return inputs, targets
 
 
-def presort_batch(inputs, targets, resolution: int, normalize: bool = True,
-                  eps: float = 0.0):
-    """Sort each cloud's points by the first PVConv's devoxelize BASE-corner
+def presort_batch(inputs, targets, resolution: int | None = None,
+                  normalize: bool = True, eps: float = 0.0,
+                  resolutions=None):
+    """Sort each cloud's points by the FIRST PVConv's devoxelize BASE-corner
     bin, so the devox sorted kernels run with zero permutation gathers
     (ops/devoxelize.py assume_sorted). One packed non-differentiable row
     gather replaces three dispatch-bound ones per step (~-1.6 ms at the
@@ -49,36 +50,59 @@ def presort_batch(inputs, targets, resolution: int, normalize: bool = True,
     per-point labels ride along as an extra channel (exact in f32 for any
     realistic class count), so the loss is unchanged up to fp reduction order.
 
-    Returns (inputs_s, targets_s, norm_s) — norm_s feeds the model's
-    `presorted=` kwarg and is passed THROUGH (not recomputed from permuted
-    coords) because normalize's per-cloud reductions are not bit-stable
-    under permutation, and the sortedness promise must be exact. The sort
-    key is computed in [B, 3, N] layout (points on lanes; [B, N, 3]-minor
-    elementwise passes idle 97% of vector lanes — profiled at ~0.3 ms each).
+    `resolutions` lists EVERY PVConv resolution in the model (first entry =
+    the sort key). The single sort serves all of them: the finest grid's
+    row-major bin order is automatically CLUSTERED by any coarser grid's
+    bin tiles (x_{R'} = x_{R0} >> log2(R0/R') exactly, and the sorted
+    kernels only need rows grouped per bin tile in tile order — the in-tile
+    one-hot locates exact bins), so every resolution group runs the
+    zero-gather assume_sorted kernels with NO mid-network re-sorts. Only the
+    FINEST norm coords ride the payload gather (computed from the ORIGINAL
+    point order — normalize's per-cloud reductions are not bit-stable under
+    permutation); each coarser grid's norms are derived per point AFTER the
+    gather as min(norm_r0 / k, r - 1), which is BIT-EXACTLY what
+    normalize_coords(r) returns for power-of-two k: fl(x*kR) == k*fl(x*R)
+    (scaling by 2^m commutes with fp rounding) and the upper clip maps
+    through the division (r0-1)/k > r-1. Sort-key math runs in [B, 3, N]
+    layout (points on lanes; [B, N, 3]-minor elementwise passes idle 97% of
+    vector lanes).
+
+    Returns (inputs_s, targets_s, norms) with norms a dict
+    {resolution: [B, N, 3] sorted norm coords} for the model's `presorted=`
+    kwarg. The legacy `resolution=R` form is `resolutions=(R,)`.
     """
     from pvcnn_tpu import ops
 
     assert not isinstance(inputs, dict) and targets.ndim == 2, \
         "presort supports (features [B,N,C], labels [B,N]) batches"
+    rs = tuple(dict.fromkeys(int(r) for r in (resolutions if resolutions
+                                              else (resolution,))))
+    r0 = rs[0]
+    assert all(r0 % r == 0 and (r0 // r) & (r0 // r - 1) == 0 for r in rs), (
+        f"presort resolutions {rs} must divide the sort key {r0} by a POWER "
+        "OF TWO — fl(x*kR) == k*fl(x*R) (and hence the x-slab clustering "
+        "x_R = x_{kR} // k) is only exact for power-of-two k")
     coords = jax.lax.stop_gradient(inputs[..., :3])
-    _, norm = ops.normalize_coords(coords, resolution, normalize=normalize,
-                                   eps=eps)
-    lo = jnp.floor(jnp.swapaxes(norm, 1, 2)).astype(jnp.int32)  # [B, 3, N]
-    base = (lo[:, 0] * (resolution * resolution) + lo[:, 1] * resolution
+    norm0 = ops.normalize_coords(coords, r0, normalize=normalize, eps=eps)[1]
+    lo = jnp.floor(jnp.swapaxes(norm0, 1, 2)).astype(jnp.int32)  # [B, 3, N]
+    base = (lo[:, 0] * (r0 * r0) + lo[:, 1] * r0
             + lo[:, 2])                 # == ops.corner_base_bins (exactly)
     b, n = base.shape
     _, perm = jax.lax.sort_key_val(
         base, jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n)),
         dimension=1)
     payload = jnp.concatenate(
-        [inputs, norm, targets[..., None].astype(inputs.dtype)], axis=-1)
+        [inputs, norm0, targets[..., None].astype(inputs.dtype)], axis=-1)
     pay = jax.lax.stop_gradient(
         jnp.take_along_axis(payload, perm[..., None], axis=1))
     c = inputs.shape[-1]
     inputs_s = pay[..., :c]
-    norm_s = pay[..., c:c + 3]
+    norm0_s = pay[..., c:c + 3]
+    norms_s = {r: (norm0_s if r == r0 else
+                   jnp.minimum(norm0_s * (r / r0), float(r - 1)))
+               for r in rs}
     targets_s = pay[..., -1].astype(targets.dtype)
-    return inputs_s, targets_s, norm_s
+    return inputs_s, targets_s, norms_s
 
 
 class Trainer:
@@ -89,10 +113,13 @@ class Trainer:
                  eval_matmul_precision: str = "float32",
                  tensor_parallel: bool = False,
                  presort: Optional[dict] = None):
-        # presort: {"resolution": R0, "normalize": bool, "eps": float} of the
-        # model's FIRST PVConv — the train step then sorts each cloud by that
-        # layer's devox base bin (presort_batch) and the model must accept
-        # `presorted=`. Training-only: eval keeps input point order.
+        # presort: {"resolutions": (R0, R1, ...), "normalize": bool,
+        # "eps": float} — EVERY PVConv resolution of the model, finest first
+        # (models.utils.pvconv_resolutions). The train step sorts each cloud
+        # ONCE by R0's devox base bin (presort_batch) and the model must
+        # accept `presorted=` (a {resolution: norm_coords} dict); coarser
+        # grids ride the same sort via the nested-presort contract.
+        # Training-only: eval keeps input point order.
         self.presort = presort
         # tensor_parallel: shard wide kernels over the mesh's `model` axis
         # (parallel/mesh.py partition_params); off by default — every reference
@@ -155,14 +182,7 @@ class Trainer:
             outputs, mutated = self.model.apply(
                 variables, inputs, train=True, rngs=self._rngs(rng),
                 mutable=["batch_stats"], **apply_kwargs)
-            tgt = targets
-            if apply_kwargs and isinstance(outputs, tuple):
-                # presorted models re-sort points per resolution group and
-                # return (logits, perm); labels follow the same perm
-                outputs, perm = outputs
-                if perm is not None:
-                    tgt = jnp.take_along_axis(tgt, perm, axis=1)
-            return self.criterion(outputs, tgt), mutated["batch_stats"]
+            return self.criterion(outputs, targets), mutated["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)

@@ -247,6 +247,151 @@ class TestTrilinearDevoxelize:
                                    atol=1e-4)
 
 
+class TestNestedPresort:
+    """sort_ratio > 1: rows sorted by a FINER grid's base bins (the single
+    trainer presort) are only CLUSTERED per x-slab of this grid; the sorted
+    kernels must stay oracle-exact under tile_align = R^2 restricted plans
+    (ops/devoxelize.py trilinear_devoxelize, ops/voxelize.py
+    avg_voxelize_sorted)."""
+
+    @staticmethod
+    def _nested_coords(rng, b, n, r, ratio):
+        """(nc_r, nc_fine): norm coords at R and ratio*R with the EXACT
+        power-of-two relation nc_fine == ratio * nc_r that normalize_coords
+        guarantees (fl(x*kR) == k*fl(x*R) for k a power of two), plus exact
+        grid-plane hits and clipped boundary coords."""
+        nc = rng.uniform(0, r - 1, size=(b, n, 3)).astype(np.float32)
+        for ax in range(3):
+            k = slice(ax * 40, ax * 40 + 20)
+            nc[:, k, ax] = np.round(nc[:, k, ax])
+        nc[:, 0] = [0, 0, 0]
+        nc[:, 1] = [r - 1, r - 1, r - 1]
+        fine = np.minimum(nc * ratio, ratio * r - 1.0).astype(np.float32)
+        return nc, fine
+
+    @pytest.mark.parametrize("c", [16, 32])   # nc=8 one-call and grouped bwd
+    def test_devox_nested_sorted_matches_oracle(self, rng, monkeypatch, c):
+        monkeypatch.setenv("PVCNN_TPU_PRESORTED_BWD_MAX_C", "64")
+        b, n, r, ratio = 2, 512, 16, 2
+        grid = rng.randn(b, r, r, r, c).astype(np.float32)
+        nc, fine = self._nested_coords(rng, b, n, r, ratio)
+        key = np.asarray(ops.corner_base_bins(jnp.asarray(fine), ratio * r))
+        order = np.argsort(key, axis=1, kind="stable")
+        nc = np.take_along_axis(nc, order[..., None], axis=1)
+
+        with jax.default_matmul_precision("float32"):
+            got = np.asarray(ops.trilinear_devoxelize(
+                jnp.asarray(grid), jnp.asarray(nc), r, True, ratio))
+        want = oracles.trilinear_devoxelize(grid, nc)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+        w = rng.randn(b, n, c).astype(np.float32)
+
+        def f(x):
+            return jnp.sum(ops.trilinear_devoxelize(
+                x, jnp.asarray(nc), r, True, ratio) * jnp.asarray(w))
+
+        with jax.default_matmul_precision("float32"):
+            ana = np.asarray(jax.grad(f)(jnp.asarray(grid)))
+        want_g = oracles.trilinear_devoxelize_grad(w, nc, r)
+        np.testing.assert_allclose(ana, want_g.reshape(ana.shape), rtol=1e-4,
+                                   atol=1e-4)
+
+    def test_avg_voxelize_nested_sorted_matches_plain(self, rng, monkeypatch):
+        from pvcnn_tpu.ops.voxelize import avg_voxelize_sorted
+
+        monkeypatch.setenv("PVCNN_TPU_AVGVOX_SORTED", "1")
+        b, n, c, r, ratio = 2, 512, 6, 16, 2
+        feats = rng.randn(b, n, c).astype(np.float32)
+        nc, fine = self._nested_coords(rng, b, n, r, ratio)
+        key = np.asarray(ops.corner_base_bins(jnp.asarray(fine), ratio * r))
+        order = np.argsort(key, axis=1, kind="stable")
+        nc = np.take_along_axis(nc, order[..., None], axis=1)
+        feats = np.take_along_axis(feats, order[..., None], axis=1)
+        vox = np.round(nc).astype(np.int32)
+
+        with jax.default_matmul_precision("float32"):
+            got = np.asarray(avg_voxelize_sorted(
+                jnp.asarray(feats), jnp.asarray(nc), r, sort_ratio=ratio))
+            want = np.asarray(ops.avg_voxelize(
+                jnp.asarray(feats), jnp.asarray(vox), r))
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+            w = rng.randn(b, r, r, r, c).astype(np.float32)
+
+            def f_sorted(x):
+                return jnp.sum(avg_voxelize_sorted(
+                    x, jnp.asarray(nc), r, sort_ratio=ratio) * jnp.asarray(w))
+
+            def f_plain(x):
+                return jnp.sum(ops.avg_voxelize(x, jnp.asarray(vox), r)
+                               * jnp.asarray(w))
+
+            ga = np.asarray(jax.grad(f_sorted)(jnp.asarray(feats)))
+            gb = np.asarray(jax.grad(f_plain)(jnp.asarray(feats)))
+        np.testing.assert_allclose(ga, gb, rtol=1e-4, atol=1e-5)
+
+
+class TestPallasCostRecorder:
+    """ops/pallas/cost.py: kernel wrappers report analytic FLOPs/bytes at
+    trace time (bench.py sums them with XLA's cost analysis, which counts
+    zero for Pallas custom calls)."""
+
+    def test_records_during_fresh_lower_only(self, rng):
+        from pvcnn_tpu.ops.pallas import cost
+        from pvcnn_tpu.ops.pallas.scatter import onehot_scatter_add
+
+        b, n, c, bins = 2, 256, 8, 512
+        v = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+        i = jnp.asarray(rng.randint(0, bins, (b, n)).astype(np.int32))
+
+        def f(v, i):
+            return onehot_scatter_add(v, i, bins).sum()
+
+        with cost.recording() as rec:
+            jax.jit(f).lower(v, i)
+        assert rec["flops"] == 2.0 * b * c * n * bins
+        assert rec["by_kernel"]["onehot_scatter"]["calls"] == 1
+        assert rec["bytes"] > 0
+        # outside a recording context: no-op, no crosstalk
+        before = dict(rec)
+        jax.jit(lambda v, i: onehot_scatter_add(v, i, bins)).lower(v, i)
+        assert rec["flops"] == before["flops"]
+
+    def test_train_step_costs_nonzero_pallas(self, rng):
+        """bench._step_costs on a tiny presorted train step must see Pallas
+        FLOPs from the conv_rows + scatter/gather kernels (a cached-trace
+        regression would silently return zero — the bug _step_costs'
+        lower-before-execute ordering exists to avoid)."""
+        import bench
+        from pvcnn_tpu.models.shapenet import PVCNN
+        from pvcnn_tpu.models.utils import pvconv_resolutions
+        from pvcnn_tpu.nn.loss import CrossEntropyLoss
+        from pvcnn_tpu.parallel import mesh as pmesh
+        from pvcnn_tpu.train.optim import Adam
+        from pvcnn_tpu.train.trainer import Trainer
+
+        tx, _ = Adam(1e-3)
+        model = PVCNN(num_classes=50, num_shapes=16, extra_feature_channels=3,
+                      width_multiplier=0.25, dtype="float32")
+        trainer = Trainer(
+            model, CrossEntropyLoss(), tx,
+            presort={"resolutions": pvconv_resolutions(PVCNN.blocks),
+                     "normalize": False})
+        b, n = 8, 512   # divisible by the conftest 8-device data mesh
+        inputs = rng.randn(b, n, 22).astype(np.float32)
+        labels = rng.randint(0, 50, size=(b, n))
+        state = trainer.init_state(inputs[:1])
+        batch = pmesh.shard_batch((inputs, labels), trainer.mesh)
+        costs = bench._step_costs(trainer, state, batch,
+                                  jax.random.PRNGKey(0))
+        assert costs["pallas_flops_per_step"] > 0
+        assert {"conv_rows_fwd", "conv_rows_wgrad", "sorted_gather",
+                "sorted_scatter"} <= set(costs["pallas_by_kernel"])
+        assert (costs["flops_per_step"] == costs["xla_flops_per_step"]
+                + costs["pallas_flops_per_step"])
+
+
 class TestBallQuery:
     def test_matches_oracle(self, rng):
         b, n, m, u = 2, 128, 16, 8

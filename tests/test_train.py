@@ -193,6 +193,42 @@ def test_dp_gradients_match_single_device():
     assert rel_l2 < 1e-2, rel_l2
 
 
+def test_presort_derived_coarse_norms_bit_exact():
+    """presort_batch derives coarser grids' norm coords from the finest as
+    min(norm_r0 * (1/k), r-1); this must be BIT-identical to running
+    normalize_coords at r directly and gathering through the sort perm —
+    the sortedness promise (and twin parity) tolerates zero drift. Includes
+    points far outside the unit box so both clips engage."""
+    import jax.numpy as jnp
+
+    from pvcnn_tpu import ops
+    from pvcnn_tpu.train.trainer import presort_batch
+
+    rng = np.random.RandomState(0)
+    b, n = 2, 256
+    inputs = (rng.randn(b, n, 6) * rng.choice([0.01, 1.0, 30.0], (b, n, 1))
+              ).astype(np.float32)
+    targets = rng.randint(0, 5, size=(b, n))
+    for normalize in (True, False):
+        _, _, norms = presort_batch(jnp.asarray(inputs), jnp.asarray(targets),
+                                    resolutions=(32, 16, 8),
+                                    normalize=normalize)
+        coords = inputs[..., :3]
+        # recover the perm by re-deriving the sort key
+        _, n32 = ops.normalize_coords(jnp.asarray(coords), 32,
+                                      normalize=normalize)
+        lo = np.floor(np.asarray(n32)).astype(np.int64)
+        base = lo[..., 0] * 1024 + lo[..., 1] * 32 + lo[..., 2]
+        perm = np.argsort(base, axis=1, kind="stable")
+        for r in (32, 16, 8):
+            _, want = ops.normalize_coords(jnp.asarray(coords), r,
+                                           normalize=normalize)
+            want = np.take_along_axis(np.asarray(want), perm[..., None],
+                                      axis=1)
+            np.testing.assert_array_equal(np.asarray(norms[r]), want,
+                                          err_msg=f"r={r} norm={normalize}")
+
+
 def test_presort_step_matches_unsorted():
     """Trainer(presort=...) must train the SAME program: one step's loss and
     updated params on a presorted batch match the plain trainer on the same
@@ -211,8 +247,9 @@ def test_presort_step_matches_unsorted():
         @nn.compact
         def __call__(self, inputs, train=False, presorted=None):
             coords = inputs[..., :3]
+            pre = presorted[r] if presorted else None
             f, _ = PVConv(16, resolution=r)(inputs, coords, train=train,
-                                            precomputed=presorted)
+                                            precomputed=pre)
             return nn.Dense(n_cls)(f)
 
     from pvcnn_tpu.train.trainer import presort_batch
@@ -265,23 +302,20 @@ def test_presort_step_matches_unsorted():
     assert rel_l2 < 1e-4, rel_l2
 
 
-@pytest.mark.slow
 def test_presort_full_pvcnn_matches_unsorted(monkeypatch):
-    """Full ShapeNet PVCNN through the presort path — trainer sort, layer-0
-    zero-gather kernels, the mid-network re-sort into the R=16 group's order,
-    avg_voxelize_sorted, and the (logits, perm) label permutation — must
+    """Full ShapeNet PVCNN through the NESTED presort path — one trainer
+    sort by the R=32 devox base bin feeding BOTH resolution groups
+    (sort_ratio=2 for the R=16 PVConvs) plus avg_voxelize_sorted — must
     compute the same loss and gradients as the plain path (fp reduction
     order aside; dropout is disabled because its masks are per-POSITION, a
     legitimate statistical difference under reordering). Shapes chosen so
     the assume_sorted kernel plans fit."""
     import flax.linen as fnn
-    import jax.numpy as jnp
 
     from pvcnn_tpu.models import shapenet
     from pvcnn_tpu.train.trainer import presort_batch
 
-    # both perf-parked opt-in paths ON so their exactness stays test-locked
-    monkeypatch.setenv("PVCNN_TPU_MID_RESORT", "1")
+    # the opt-in sorted voxelize ON so its exactness stays test-locked
     monkeypatch.setenv("PVCNN_TPU_AVGVOX_SORTED", "1")
     monkeypatch.setattr(fnn.Dropout, "__call__",
                         lambda self, x, deterministic=None, rng=None: x)
@@ -295,7 +329,8 @@ def test_presort_full_pvcnn_matches_unsorted(monkeypatch):
     results = []
     with jax.default_matmul_precision("float32"):
         tx, _ = Adam(1e-2)
-        for presort in (None, {"resolution": 32, "normalize": False}):
+        for presort in (None, {"resolutions": (32, 16),
+                               "normalize": False}):
             trainer = Trainer(model, CrossEntropyLoss(), tx,
                               mesh=pmesh.make_mesh(1), seed=0,
                               presort=presort)
@@ -316,12 +351,7 @@ def test_presort_full_pvcnn_matches_unsorted(monkeypatch):
                         variables, inputs, train=True,
                         rngs=trainer._rngs(jax.random.PRNGKey(3)),
                         mutable=["batch_stats"], **kw)
-                    tgt = targets
-                    if isinstance(outputs, tuple):
-                        outputs, perm = outputs
-                        if perm is not None:
-                            tgt = jnp.take_along_axis(tgt, perm, axis=1)
-                    return trainer.criterion(outputs, tgt)
+                    return trainer.criterion(outputs, targets)
 
                 return jax.value_and_grad(loss_fn)(params)
 

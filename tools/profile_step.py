@@ -29,8 +29,10 @@ def main():
     model = PVCNN(num_classes=50, num_shapes=16, extra_feature_channels=3,
                   width_multiplier=0.25, dtype=DTYPE)
     tx, _ = Adam(1e-3)
-    presort = ({"resolution": 32, "normalize": False}
-               if os.environ.get("PVCNN_TPU_PRESORT", "1") != "0" else None)
+    from pvcnn_tpu.utils import knobs
+
+    presort = ({"resolutions": (32, 16), "normalize": False}
+               if knobs.get("PVCNN_TPU_PRESORT") else None)
     trainer = Trainer(model, CrossEntropyLoss(), tx, presort=presort)
     rng = np.random.RandomState(0)
     inputs = rng.randn(BATCH, NUM_POINTS, 6 + 16).astype(np.float32)
