@@ -88,9 +88,9 @@ class DataLoader:
         # reference hosts run 16 workers on many-core machines.
         # PVCNN_TPU_LOADER_FORCE_WORKERS=1 skips the clamp (tests exercise
         # the pool paths on 1-core CI).
-        import os as _os
+        from pvcnn_tpu.utils import knobs as _knobs
 
-        if _os.environ.get("PVCNN_TPU_LOADER_FORCE_WORKERS") == "1":
+        if _knobs.get("PVCNN_TPU_LOADER_FORCE_WORKERS"):
             self.num_workers = int(num_workers)
         else:
             cores = _os.cpu_count() or 1

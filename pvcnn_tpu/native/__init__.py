@@ -58,7 +58,9 @@ def _lib() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if not _TRIED:
         _TRIED = True
-        if os.environ.get("PVCNN_TPU_NO_NATIVE") != "1":
+        from pvcnn_tpu.utils import knobs
+
+        if not knobs.get("PVCNN_TPU_NO_NATIVE"):
             _LIB = _build_and_load()
     return _LIB
 

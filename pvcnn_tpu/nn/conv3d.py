@@ -65,7 +65,9 @@ def _conv3d_bwd(res, g):
     dx = _conv(g, kt).astype(x.dtype)
     # weight grad: single-read Pallas offset-window kernel when it fits,
     # else k^3 shifted-slice contractions in channel-last layout
-    if os.environ.get("PVCNN_TPU_XLA_CONV_WGRAD_ONLY") != "1":
+    from pvcnn_tpu.utils import knobs
+
+    if not knobs.get("PVCNN_TPU_XLA_CONV_WGRAD_ONLY"):
         from pvcnn_tpu.ops.pallas.conv_wgrad import conv3d_wgrad
 
         dw = conv3d_wgrad(x, g, k)
@@ -125,7 +127,9 @@ class Conv3dSame(nn.Module):
 
             y = conv3d_rows(xd, kd, int(rows_resolution))
             return y + bias.astype(y.dtype)[:, None]
-        if os.environ.get("PVCNN_TPU_CUSTOM_CONV_WGRAD") == "1":
+        from pvcnn_tpu.utils import knobs
+
+        if knobs.get("PVCNN_TPU_CUSTOM_CONV_WGRAD"):
             y = conv3d_same(xd, kd)
         else:
             y = _conv(xd, kd)

@@ -58,7 +58,9 @@ __all__ = ["conv3d_wgrad", "conv3d_wgrad_plan"]
 
 
 def _interpret() -> bool:
-    return os.environ.get("PVCNN_TPU_PALLAS_INTERPRET", "0") == "1"
+    from pvcnn_tpu.utils import knobs
+
+    return knobs.get("PVCNN_TPU_PALLAS_INTERPRET")
 
 
 def _round_up(x: int, m: int) -> int:

@@ -31,7 +31,9 @@ __all__ = ["fps_indices_pallas", "pallas_fps_supported"]
 
 
 def _interpret() -> bool:
-    return os.environ.get("PVCNN_TPU_PALLAS_INTERPRET", "0") == "1"
+    from pvcnn_tpu.utils import knobs
+
+    return knobs.get("PVCNN_TPU_PALLAS_INTERPRET")
 
 
 def pallas_fps_supported(n: int, b: int = 1) -> bool:

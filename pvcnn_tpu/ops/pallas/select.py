@@ -28,7 +28,9 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["ball_query_pallas", "three_nn_pallas", "pallas_select_supported"]
 
 def _interpret() -> bool:
-    return os.environ.get("PVCNN_TPU_PALLAS_INTERPRET", "0") == "1"
+    from pvcnn_tpu.utils import knobs
+
+    return knobs.get("PVCNN_TPU_PALLAS_INTERPRET")
 
 
 def _tile_rows(num_rows: int, num_cols: int) -> int:

@@ -1,0 +1,82 @@
+"""pvcnn_tpu/utils/knobs.py: the central env-knob registry.
+
+Three sync guarantees: (1) every PVCNN_TPU_* string in the source tree is a
+registered knob (no unregistered sprawl — the failure mode this registry
+exists to prevent), (2) docs/KNOBS.md matches the registry, (3) garbage
+values raise uniform ValueErrors naming the variable instead of crashing
+deep inside a kernel plan.
+"""
+
+import pathlib
+import re
+
+import pytest
+
+from pvcnn_tpu.utils import knobs
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _source_knobs():
+    names = set()
+    paths = [ROOT / "pvcnn_tpu", ROOT / "tools"]
+    files = [ROOT / "bench.py", ROOT / "train.py", ROOT / "train_dml.py",
+             ROOT / "__graft_entry__.py"]
+    for d in paths:
+        files.extend(d.rglob("*.py"))
+    pat = re.compile(r"PVCNN_TPU_[A-Z0-9_]+")
+    for f in files:
+        names.update(pat.findall(f.read_text()))
+    return names
+
+
+def test_registry_covers_every_source_knob():
+    unregistered = _source_knobs() - set(knobs.KNOBS)
+    assert not unregistered, (
+        f"unregistered PVCNN_TPU_* vars in source: {sorted(unregistered)} — "
+        "add them to pvcnn_tpu/utils/knobs.py and docs/KNOBS.md")
+
+
+def test_docs_table_in_sync():
+    doc = (ROOT / "docs" / "KNOBS.md").read_text()
+    assert knobs.table_md() in doc, (
+        "docs/KNOBS.md is stale — regenerate its table from "
+        "pvcnn_tpu.utils.knobs.table_md()")
+
+
+def test_defaults_parse():
+    for name in knobs.KNOBS:
+        knobs.get(name)   # must not raise with a clean env
+
+
+@pytest.mark.parametrize("name,bad", [
+    ("PVCNN_TPU_SORTED_MIN_BINS", "soon"),
+    ("PVCNN_TPU_DEVOX_FWD_PACK", "3"),
+    ("PVCNN_TPU_DEVOX_PACK_BUILD", "fast"),
+    ("PVCNN_TPU_AVGVOX_SORTED", "yes"),
+    ("PVCNN_TPU_PRESORTED_BWD_MAX_C", "1e3"),
+])
+def test_garbage_values_raise(name, bad, monkeypatch):
+    monkeypatch.setenv(name, bad)
+    with pytest.raises(ValueError, match=name):
+        knobs.get(name)
+
+
+def test_overrides_parse(monkeypatch):
+    monkeypatch.setenv("PVCNN_TPU_SORTED_MIN_BINS", "4096")
+    assert knobs.get("PVCNN_TPU_SORTED_MIN_BINS") == 4096
+    # FWD_MIN_BINS inherits an EXPLICIT backward threshold...
+    assert knobs.get("PVCNN_TPU_DEVOX_FWD_MIN_BINS") == 4096
+    monkeypatch.setenv("PVCNN_TPU_DEVOX_FWD_MIN_BINS", "128")
+    assert knobs.get("PVCNN_TPU_DEVOX_FWD_MIN_BINS") == 128
+    monkeypatch.delenv("PVCNN_TPU_SORTED_MIN_BINS")
+    monkeypatch.delenv("PVCNN_TPU_DEVOX_FWD_MIN_BINS")
+    # ...but its own default is the lower forward crossover
+    assert knobs.get("PVCNN_TPU_DEVOX_FWD_MIN_BINS") == 4096
+    assert knobs.get("PVCNN_TPU_SORTED_MIN_BINS") == 16384
+    monkeypatch.setenv("PVCNN_TPU_DEVOX_FWD_PACK", "8")
+    assert knobs.get("PVCNN_TPU_DEVOX_FWD_PACK") == "8"
+    monkeypatch.setenv("PVCNN_TPU_CONV_ROWS", "0")
+    assert knobs.get("PVCNN_TPU_CONV_ROWS") == "0"
+    with pytest.raises(KeyError):
+        knobs.get("PVCNN_TPU_NOT_A_KNOB")

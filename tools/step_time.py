@@ -65,7 +65,9 @@ def main():
     model, in_ch, n_cls = build_model()
     tx, _ = Adam(1e-3)
     presort = None
-    if os.environ.get("PVCNN_TPU_PRESORT", "1") != "0":
+    from pvcnn_tpu.utils import knobs
+
+    if knobs.get("PVCNN_TPU_PRESORT"):
         presort = {"shapenet_pvcnn_0p25": {"resolution": 32, "normalize": False},
                    "shapenet_pvcnn_1": {"resolution": 32, "normalize": False},
                    }.get(MODEL)
