@@ -919,8 +919,20 @@ class TwinFrustumNet(nn.Module):
 
 
 def randomize(twin: nn.Module, seed: int = 0) -> nn.Module:
-    """Randomize BN affine params + running stats on top of torch's default
-    weight init, so the import test exercises every BN tensor."""
+    """Deterministically re-draw EVERY parameter: re-run each module's
+    default init under a seeded global RNG, then randomize BN affine params
+    + running stats so the import test exercises every BN tensor.
+
+    Re-running reset_parameters is essential, not cosmetic: construction-time
+    init uses torch's GLOBAL RNG, so twin weights depended on process history
+    (which tests ran first) and run-to-run the statistical gate-flip bounds in
+    test_model_parity saw a different draw each time — measured flip
+    fractions for pvcnn2_s3dis varied 0.001-0.018 across identical
+    invocations before this fix."""
+    torch.manual_seed(seed)
+    for mod in twin.modules():
+        if hasattr(mod, "reset_parameters"):
+            mod.reset_parameters()
     gen = torch.Generator().manual_seed(seed)
     with torch.no_grad():
         for mod in twin.modules():
