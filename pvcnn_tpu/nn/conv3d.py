@@ -102,12 +102,22 @@ class Conv3dSame(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, rows_resolution: int | None = None):
+    def __call__(self, x, rows_resolution: int | None = None, *,
+                 fused: bool = False, prologue=None,
+                 want_stats: bool = False):
         """NDHWC grid [B,D,H,W,Ci] by default; with `rows_resolution=R` the
         input/output are FLAT rows [B, Ci, R^3] and the conv runs through the
         Pallas flat-rows kernel (ops/pallas/conv_rows.py — callers must gate
         on conv_rows_supported). Parameter shapes/names are layout-independent
-        so checkpoints transfer between the two paths."""
+        so checkpoints transfer between the two paths.
+
+        fused=True (rows layout only): route through conv3d_rows_act —
+        `prologue=(scale_eff, shift_eff)` applies the PREVIOUS BatchNorm's
+        folded affine + LeakyReLU(0.1) to the input inside the kernel, bias
+        is added in the kernel epilogue, and the return becomes
+        (y, (s1, s2)) with per-channel f32 sum / sum-of-squares of y for
+        this layer's own BatchNorm (see nn/pvconv.py fused voxel branch;
+        reference block: modules/pvconv.py:20-30)."""
         k = int(self.kernel_size)
         # even k would make XLA 'SAME' (pad left k//2-?, right k//2) disagree
         # with the custom wgrad's symmetric k//2 padding AND with the reference
@@ -123,8 +133,19 @@ class Conv3dSame(nn.Module):
         xd = x.astype(dt)
         kd = kernel.astype(dt)
         if rows_resolution is not None:
-            from pvcnn_tpu.ops.pallas.conv_rows import conv3d_rows
+            from pvcnn_tpu.ops.pallas.conv_rows import (conv3d_rows,
+                                                        conv3d_rows_act)
 
+            if fused:
+                if prologue is not None:
+                    ps, sh = prologue
+                else:
+                    ps = jnp.zeros((ci,), jnp.float32)
+                    sh = jnp.zeros((ci,), jnp.float32)
+                y, s1, s2 = conv3d_rows_act(
+                    xd, kd, bias, ps, sh, int(rows_resolution),
+                    prologue is not None, want_stats)
+                return y, (s1, s2)
             y = conv3d_rows(xd, kd, int(rows_resolution))
             return y + bias.astype(y.dtype)[:, None]
         from pvcnn_tpu.utils import knobs

@@ -114,20 +114,46 @@ class PVConv(nn.Module):
         # the Pallas custom calls. Both convs must plan (fwd+dgrad+wgrad);
         # PVCNN_TPU_CONV_ROWS=0 disables.
         from pvcnn_tpu.ops.pallas.conv_rows import conv_rows_supported
+        from pvcnn_tpu.utils import knobs
         use_rows = (conv_rows_supported(b, r, ci, co, k, dt)
                     and conv_rows_supported(b, r, co, co, k, dt))
+        use_fused = (use_rows
+                     and knobs.get("PVCNN_TPU_CONV_BN_FUSED") != "0")
         if use_rows:
             grid = jnp.swapaxes(grid.reshape(b, r * r * r, ci), 1, 2)
-        for i in range(2):
-            # named Conv_{i} so checkpoint-import paths match flax nn.Conv's
-            # auto-naming; custom wgrad backward — see nn/conv3d.py
-            grid = Conv3dSame(self.out_channels, k, dtype=self.dtype,
-                              name=f"Conv_{i}")(
-                grid, rows_resolution=r if use_rows else None)
-            grid = BatchNorm(epsilon=1e-4, dtype=self.dtype,
-                             channel_axis=1 if use_rows else -1)(
-                grid, train=train)
-            grid = nn.leaky_relu(grid, negative_slope=0.1)
+        if use_fused:
+            # fused voxel branch: each conv emits its BN's sum/sumsq in the
+            # kernel epilogue and applies the PREVIOUS BN's folded affine +
+            # LeakyReLU as an input prologue — normalized grids never hit
+            # HBM between convs (ops/pallas/conv_rows.py conv3d_rows_act).
+            # Param tree identical to the unfused loop (same module names).
+            pro = None
+            for i in range(2):
+                grid, sums = Conv3dSame(self.out_channels, k,
+                                        dtype=self.dtype, name=f"Conv_{i}")(
+                    grid, rows_resolution=r, fused=True, prologue=pro,
+                    want_stats=train)
+                pro = BatchNorm(epsilon=1e-4, dtype=self.dtype,
+                                channel_axis=1,
+                                name=f"BatchNorm_{i}")(
+                    train=train, affine=True,
+                    sums=sums if train else None,
+                    count=b * r * r * r, features=co)
+            # the LAST BN+LeakyReLU applies here (feeds SE/devoxelize)
+            sc, sh = pro
+            t = (grid.astype(jnp.float32) * sc[:, None] + sh[:, None])
+            grid = jnp.where(t > 0, t, 0.1 * t).astype(dt)
+        else:
+            for i in range(2):
+                # named Conv_{i} so checkpoint-import paths match flax
+                # nn.Conv's auto-naming; custom wgrad — see nn/conv3d.py
+                grid = Conv3dSame(self.out_channels, k, dtype=self.dtype,
+                                  name=f"Conv_{i}")(
+                    grid, rows_resolution=r if use_rows else None)
+                grid = BatchNorm(epsilon=1e-4, dtype=self.dtype,
+                                 channel_axis=1 if use_rows else -1,
+                                 name=f"BatchNorm_{i}")(grid, train=train)
+                grid = nn.leaky_relu(grid, negative_slope=0.1)
         if self.with_se:
             grid = SE3d(self.out_channels, dtype=self.dtype)(grid)
         if use_rows:

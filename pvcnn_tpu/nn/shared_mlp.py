@@ -83,7 +83,27 @@ class BatchNorm(nn.Module):
     channel_axis: int = -1
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x=None, train: bool = False, *, affine: bool = False,
+                 sums=None, count: int = 0, features: int = 0):
+        """Two modes:
+
+        * normalize (default): x -> normalized/affined x, batch stats in
+          train mode, running stats in eval.
+        * affine=True (x must be None): return the FOLDED per-channel
+          (scale_eff, shift_eff) f32 pair such that
+          `y_norm = y*scale_eff + shift_eff`, updating running stats exactly
+          as normalize mode would. In train mode batch mean/var derive from
+          `sums=(s1, s2)` per-channel f32 sums of the pre-BN tensor with
+          `count` reduced elements (mean = s1/n, var = s2/n - mean^2 — the
+          same biased-variance formula the normalize path uses); in eval
+          mode running stats fold into the pair (pass `features`, sums may
+          be None). The fused voxel branch consumes the pair as a
+          conv-kernel prologue (ops/pallas/conv_rows.py conv3d_rows_act) so
+          the normalized grid is never materialized.
+        """
+        if affine:
+            assert x is None
+            return self._affine(sums, count, features, train)
         ax = self.channel_axis % x.ndim
         features = x.shape[ax]
         scale = self.param("scale", nn.initializers.ones, (features,),
@@ -130,6 +150,34 @@ class BatchNorm(nn.Module):
              * jax.lax.rsqrt(var.reshape(bshape) + self.epsilon))
         y = y * to(scale.reshape(bshape)) + to(bias.reshape(bshape))
         return y.astype(self.dtype or x.dtype)
+
+    def _affine(self, sums, count, features, train):
+        if sums is not None:
+            features = sums[0].shape[0]
+        assert features, "affine mode needs sums or features"
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((features,), jnp.float32))
+        if train:
+            s1, s2 = sums
+            n = int(count)
+            mean = s1.astype(jnp.float32) / n
+            var = s2.astype(jnp.float32) / n - jnp.square(mean)
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        scale_eff = scale * jax.lax.rsqrt(var + self.epsilon)
+        shift_eff = bias - mean * scale_eff
+        return scale_eff, shift_eff
 
 
 class SharedMLP(nn.Module):

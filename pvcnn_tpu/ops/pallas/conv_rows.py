@@ -246,6 +246,144 @@ def _wgrad_kernel(k, r, tile, chunk, single, x0_ref, x1_ref, g_ref, out_ref,
             precision=_precision(xw.dtype))
 
 
+def _stage_act(xw, dst_off, width, src, glob0, c0, r3, has_pro, pro_ref):
+    """Stage an x block into the xw scratch, optionally applying the fused
+    BN-affine + LeakyReLU(0.1) input prologue in f32: the consumer-side half
+    of the conv+BN+LeakyReLU fusion (reference modules/pvconv.py:20-30 —
+    Conv3d -> BatchNorm3d(eps 1e-4) -> LeakyReLU(0.1)). The previous layer's
+    normalize/activate elementwise pass over the grid disappears: its raw
+    output rides the existing pad copy and is transformed here, in registers.
+
+    The zero-extended pad columns must STAY zero (they implement the conv's
+    SAME zero padding on the POST-activation tensor), and leaky(0*s+t) != 0,
+    so an in-grid column mask (c0 <= global col < c0 + r3) re-zeroes them —
+    the same periodic-iota trick as the y/z tap masks, but on the global
+    column index."""
+    v = src
+    if has_pro:
+        sc = pro_ref[:, 0:1]
+        sh = pro_ref[:, 1:2]
+        t = v.astype(jnp.float32) * sc + sh
+        a = jnp.where(t > 0, t, 0.1 * t)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1) + glob0
+        valid = (col >= c0) & (col < c0 + r3)
+        v = jnp.where(valid, a, 0.0).astype(v.dtype)
+    xw[:, pl.ds(dst_off, width)] = v
+
+
+def _fwd_act_kernel(k, r, tile, chunk, single, has_pro, want_stats,
+                    x0_ref, x1_ref, w_ref, pro_ref, bias_ref,
+                    out_ref, stats_ref, xw, pk, pp):
+    """_fwd_kernel + fused epilogue/prologue: input prologue (_stage_act),
+    bias add on the f32 accumulator, and per-channel sum / sum-of-squares
+    partials of the BIASED output accumulated into stats_ref[:, 0:2] across
+    the whole grid — the BN batch-stat reduce never re-reads the grid from
+    HBM. Stats accumulate the f32 accumulator (pre output-dtype rounding):
+    for f32 IO that is bit-equivalent to reducing the stored output; for bf16
+    it differs by rounding noise, zero-mean at 2M elements/channel."""
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    r2 = r * r
+    r3 = r ** 3
+    p = k // 2
+    c0 = p * (r2 + r + 1)
+    span = chunk + (k - 1) * r2
+    ci_pad = x0_ref.shape[1]
+    co_pad = out_ref.shape[1]
+
+    @pl.when((bi == 0) & (ti == 0))
+    def _init():
+        stats_ref[...] = jnp.zeros_like(stats_ref)
+
+    if single:
+        xblock = x0_ref.shape[2]
+        _stage_act(xw, 0, xblock, x0_ref[0], 0, c0, r3, has_pro, pro_ref)
+    else:
+        _stage_act(xw, 0, tile, x0_ref[0], ti * tile, c0, r3, has_pro,
+                   pro_ref)
+        _stage_act(xw, tile, tile, x1_ref[0], (ti + 1) * tile, c0, r3,
+                   has_pro, pro_ref)
+
+    def window(s0):
+        return xw[:, pl.ds(s0, span)]
+
+    masks = _masks(k, r, span)
+    w = w_ref[...]
+    bias = bias_ref[:, 0:1]
+    zero = jnp.zeros((), xw.dtype)
+    for c in range(tile // chunk):
+        base = c * chunk
+        for ky in range(k):
+            for kz in range(k):
+                sv = window(base + ky * r + kz)
+                pk[pl.ds((ky * k + kz) * ci_pad, ci_pad), :] = jnp.where(
+                    masks[ky][kz], sv, zero)
+        pp[...] = jax.lax.dot_general(
+            w, pk[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision(xw.dtype))
+        acc = jax.lax.slice(pp[...], (0, 0), (co_pad, chunk))
+        for kx in range(1, k):
+            acc = acc + jax.lax.slice(
+                pp[...], (kx * co_pad, kx * r2),
+                ((kx + 1) * co_pad, kx * r2 + chunk))
+        acc = acc + bias
+        out_ref[0, :, pl.ds(base, chunk)] = acc.astype(out_ref.dtype)
+        if want_stats:
+            stats_ref[:, 0:1] += jnp.sum(acc, axis=1, keepdims=True)
+            stats_ref[:, 1:2] += jnp.sum(acc * acc, axis=1, keepdims=True)
+
+
+def _wgrad_act_kernel(k, r, tile, chunk, single, has_pro,
+                      x0_ref, x1_ref, g_ref, pro_ref, out_ref, xw, pk):
+    """_wgrad_kernel with the same input prologue as _fwd_act_kernel: the
+    weight grad contracts against the TRANSFORMED activations, re-derived
+    in-register from the raw padded rows residual."""
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    r2 = r * r
+    r3 = r ** 3
+    p = k // 2
+    c0 = p * (r2 + r + 1)
+
+    @pl.when((bi == 0) & (ti == 0))
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    span = chunk + (k - 1) * r2
+    ci_pad = x0_ref.shape[1]
+    if single:
+        xblock = x0_ref.shape[2]
+        _stage_act(xw, 0, xblock, x0_ref[0], 0, c0, r3, has_pro, pro_ref)
+    else:
+        _stage_act(xw, 0, tile, x0_ref[0], ti * tile, c0, r3, has_pro,
+                   pro_ref)
+        _stage_act(xw, tile, tile, x1_ref[0], (ti + 1) * tile, c0, r3,
+                   has_pro, pro_ref)
+
+    def window(s0):
+        return xw[:, pl.ds(s0, span)]
+
+    masks = _masks(k, r, span)
+    g_tile = g_ref[0]
+    zero = jnp.zeros((), xw.dtype)
+    for c in range(tile // chunk):
+        base = c * chunk
+        for ky in range(k):
+            for kz in range(k):
+                sv = jnp.where(masks[ky][kz], window(base + ky * r + kz),
+                               zero)
+                for kx in range(k):
+                    o2 = (ky * k + kz) * k + kx
+                    pk[pl.ds(o2 * ci_pad, ci_pad), :] = jax.lax.slice(
+                        sv, (0, kx * r2), (ci_pad, kx * r2 + chunk))
+        gc = jax.lax.slice(g_tile, (0, base), (g_tile.shape[0], base + chunk))
+        out_ref[...] += jax.lax.dot_general(
+            gc, pk[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision(xw.dtype))
+
+
 def _pad_rows(x, ci_pad, c0, pad_total, r3):
     """[B, Ci, R^3] -> [B, ci_pad, r3 + pad_total] zero-extended rows
     (c0 on the left, the rest on the right)."""
@@ -444,3 +582,233 @@ def _conv3d_rows_bwd(r, res, g):
 
 
 conv3d_rows.defvjp(_conv3d_rows_fwd, _conv3d_rows_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused conv + BN-stats epilogue + BN-affine/LeakyReLU input prologue
+# ---------------------------------------------------------------------------
+
+def _pack_pro(pscale, pshift, ci, ci_pad):
+    """[Ci] f32 scale/shift -> the kernel's [ci_pad, 2] f32 block. Padded
+    input channels get scale 0 / shift 0: leaky(0) == 0 keeps the zero-pad
+    rows zero, so the dot's extra K rows stay inert."""
+    pro = jnp.stack([pscale.astype(jnp.float32),
+                     pshift.astype(jnp.float32)], axis=1)
+    return jnp.pad(pro, ((0, ci_pad - ci), (0, 0)))
+
+
+def _run_fwd_act(xe, kernel, bias, pro, r, plan, want_stats, out_dtype):
+    """Fused forward on PADDED rows. pro None -> no prologue. Returns
+    (y [B, co_pad, R^3], stats [co_pad, 8] f32 — col 0 sum, col 1 sumsq of
+    the biased output; zeros unless want_stats)."""
+    k = kernel.shape[0]
+    co = kernel.shape[4]
+    tile, n_tiles, chunk, ci_pad, co_pad, c0 = plan
+    b, r3 = xe.shape[0], r ** 3
+    span = chunk + (k - 1) * r * r
+    x_specs, _, single, xblock = _x_specs(b, ci_pad, tile, n_tiles, c0, r3)
+    has_pro = pro is not None
+    if pro is None:
+        pro = jnp.zeros((ci_pad, 2), jnp.float32)
+    bias2 = jnp.pad(bias.astype(jnp.float32)[:, None],
+                    ((0, co_pad - co), (0, 0)))
+    mb = jnp.dtype(xe.dtype).itemsize
+    _cost_record("conv_rows_fwd",
+                 flops=2.0 * b * n_tiles * (tile // chunk)
+                       * (k * co_pad) * (k * k * ci_pad) * span,
+                 bytes_accessed=b * ((1 if single else 2) * n_tiles
+                                     * ci_pad * xblock * mb
+                                     + co_pad * r3 * mb))
+    w2 = _pack_w_fwd(kernel.astype(xe.dtype), ci_pad, co_pad)
+    out, stats = pl.pallas_call(
+        functools.partial(_fwd_act_kernel, k, r, tile, chunk, single,
+                          has_pro, want_stats),
+        out_shape=[jax.ShapeDtypeStruct((b, co_pad, r3), out_dtype),
+                   jax.ShapeDtypeStruct((co_pad, 8), jnp.float32)],
+        grid=(b, n_tiles),
+        in_specs=x_specs + [
+            pl.BlockSpec((k * co_pad, k * k * ci_pad),
+                         lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ci_pad, 2), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((co_pad, 1), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, co_pad, tile), lambda bi, ti: (bi, 0, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((co_pad, 8), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ci_pad, xblock if single else 2 * tile), xe.dtype),
+            pltpu.VMEM((k * k * ci_pad, span), xe.dtype),
+            pltpu.VMEM((k * co_pad, span), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(xe, xe, w2, pro, bias2)
+    return out, stats
+
+
+def _run_wgrad_act(xe, g, r, k, ci, plan, pro):
+    """_run_wgrad against the prologue-TRANSFORMED activations (pro None ->
+    raw), re-derived in-kernel from the raw padded-rows residual."""
+    b = xe.shape[0]
+    r3 = r ** 3
+    co = g.shape[1]
+    tile, n_tiles, chunk, ci_pad, co_pad, c0 = plan
+    span = chunk + (k - 1) * r * r
+    x_specs, _, single, xblock = _x_specs(b, ci_pad, tile, n_tiles, c0, r3)
+    has_pro = pro is not None
+    if pro is None:
+        pro = jnp.zeros((ci_pad, 2), jnp.float32)
+    ge = jnp.pad(g, ((0, 0), (0, co_pad - co), (0, 0)))
+    mb = jnp.dtype(xe.dtype).itemsize
+    _cost_record("conv_rows_wgrad",
+                 flops=2.0 * b * co_pad * k ** 3 * ci_pad * r3,
+                 bytes_accessed=b * ((1 if single else 2) * n_tiles
+                                     * ci_pad * xblock * mb
+                                     + co_pad * r3 * mb))
+    out = pl.pallas_call(
+        functools.partial(_wgrad_act_kernel, k, r, tile, chunk, single,
+                          has_pro),
+        out_shape=jax.ShapeDtypeStruct((co_pad, k ** 3 * ci_pad),
+                                       jnp.float32),
+        grid=(b, n_tiles),
+        in_specs=x_specs + [
+            pl.BlockSpec((1, co_pad, tile), lambda bi, ti: (bi, 0, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ci_pad, 2), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((co_pad, k ** 3 * ci_pad),
+                               lambda bi, ti: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((ci_pad, xblock if single else 2 * tile), xe.dtype),
+            pltpu.VMEM((k ** 3 * ci_pad, chunk), xe.dtype),
+        ],
+        interpret=_interpret(),
+    )(xe, xe, ge, pro)
+    out = out[:co].reshape(co, k, k, k, ci_pad)[..., :ci]
+    return jnp.transpose(out, (3, 1, 2, 4, 0))
+
+
+def _act_transform(x, pscale, pshift):
+    """XLA form of the prologue on UNPADDED rows [B, Ci, R^3] (every column
+    in-grid): leaky(x*scale + shift, 0.1) in f32."""
+    t = (x.astype(jnp.float32) * pscale.astype(jnp.float32)[:, None]
+         + pshift.astype(jnp.float32)[:, None])
+    return jnp.where(t > 0, t, 0.1 * t).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def conv3d_rows_act(x, kernel, bias, pscale, pshift, r, has_prologue,
+                    want_stats):
+    """Fused (prologue -> conv3d -> +bias -> stats) on flat voxel rows.
+
+    The PVConv voxel branch is Conv3d -> BN(eps 1e-4) -> LeakyReLU(0.1)
+    twice (reference modules/pvconv.py:20-30). Fusing BN at the block level:
+    each conv emits the per-channel sum/sumsq its BN needs (epilogue, no
+    extra grid read) and CONSUMES the previous BN's affine+LeakyReLU as an
+    input prologue (scale/shift from nn/shared_mlp.py BatchNorm's affine
+    mode), so normalized/activated grids are never materialized in HBM
+    between convs — only raw conv outputs, which ride the pad copy the
+    kernel needed anyway.
+
+    Args:
+      x:       [B, Ci, R^3] RAW rows (pre-activation when has_prologue).
+      kernel:  [k, k, k, Ci, Co]; bias [Co].
+      pscale, pshift: [Ci] BN-affine folded scale/shift (ignored when not
+               has_prologue, but must be passed — zeros are fine).
+      r, has_prologue, want_stats: static.
+    Returns:
+      (y [B, Co, R^3] biased conv output in x.dtype,
+       s1 [Co] f32 sum of y, s2 [Co] f32 sum of y^2 — zeros unless
+       want_stats).
+    """
+    out, _ = _act_fwd(x, kernel, bias, pscale, pshift, r, has_prologue,
+                      want_stats)
+    return out
+
+
+def _act_fwd(x, kernel, bias, pscale, pshift, r, has_prologue, want_stats):
+    b, ci, r3 = x.shape
+    k = kernel.shape[0]
+    co = kernel.shape[4]
+    plan = conv_rows_plan(b, r, ci, co, k, x.dtype)
+    if plan is None:
+        xt = _act_transform(x, pscale, pshift) if has_prologue else x
+        y = _xla_fallback_fwd(xt, kernel, r, None)
+        y = y + bias.astype(y.dtype)[:, None]
+        if want_stats:
+            yf = y.astype(jnp.float32)
+            s1 = jnp.sum(yf, axis=(0, 2))
+            s2 = jnp.sum(yf * yf, axis=(0, 2))
+        else:
+            s1 = s2 = jnp.zeros((co,), jnp.float32)
+        return (y, s1, s2), (x, kernel, pscale, pshift, y)
+    tile, n_tiles, chunk, ci_pad, co_pad, c0 = plan
+    _, pad_total, _, _ = _x_specs(b, ci_pad, tile, n_tiles, c0, r3)
+    xe = _pad_rows(x, ci_pad, c0, pad_total, r3)
+    pro = (_pack_pro(pscale, pshift, ci, ci_pad) if has_prologue else None)
+    yp, stats = _run_fwd_act(xe, kernel, bias, pro, r, plan, want_stats,
+                             x.dtype)
+    y = yp[:, :co, :]
+    return (y, stats[:co, 0], stats[:co, 1]), (xe, kernel, pscale, pshift, y)
+
+
+def _act_bwd(r, has_prologue, want_stats, res, g):
+    xe, kernel, pscale, pshift, y = res
+    gy, gs1, gs2 = g
+    k = kernel.shape[0]
+    ci, co = kernel.shape[3], kernel.shape[4]
+    b = xe.shape[0]
+    r3 = r ** 3
+    # plans are deterministic in (shapes, dtype, env) and both directions
+    # trace in the same jit pass — recompute instead of passing Python ints
+    # through the residual pytree (they would become tracers)
+    plan = conv_rows_plan(b, r, ci, co, k, xe.dtype)
+    # stats cotangents fold into the output cotangent: s1 = sum(y),
+    # s2 = sum(y^2) => dL/dy += gs1 + 2*y*gs2 (per channel, broadcast)
+    if want_stats:
+        gy_eff = (gy.astype(jnp.float32)
+                  + gs1.astype(jnp.float32)[None, :, None]
+                  + 2.0 * y.astype(jnp.float32)
+                  * gs2.astype(jnp.float32)[None, :, None])
+    else:
+        gy_eff = gy.astype(jnp.float32)
+    dbias = jnp.sum(gy_eff, axis=(0, 2))
+    ge = gy_eff.astype(xe.dtype)
+    # dgrad: plain conv of the cotangent with flipped, io-swapped taps —
+    # gives d wrt the TRANSFORMED input
+    kt = jnp.flip(kernel, axis=(0, 1, 2)).swapaxes(3, 4)
+    dxt = _run_fwd(ge, kt, r)[:, :ci, :]
+    if plan is None:
+        x = xe                              # fallback residual: raw rows
+        w0 = jnp.zeros((k, k, k, ci, co), xe.dtype)
+        xt = _act_transform(x, pscale, pshift) if has_prologue else x
+        _, vjp = jax.vjp(lambda w: _xla_fallback_fwd(xt, w, r, ge.dtype), w0)
+        dw = vjp(ge)[0].astype(jnp.float32)
+    else:
+        tile, n_tiles, chunk, ci_pad, co_pad, c0 = plan
+        x = jax.lax.slice(xe, (0, 0, c0), (b, ci, c0 + r3))
+        pro = (_pack_pro(pscale, pshift, ci, ci_pad) if has_prologue
+               else None)
+        dw = _run_wgrad_act(xe, ge, r, k, ci, plan, pro)
+    if has_prologue:
+        t = (x.astype(jnp.float32) * pscale.astype(jnp.float32)[:, None]
+             + pshift.astype(jnp.float32)[:, None])
+        lm = jnp.where(t > 0, 1.0, 0.1)          # leaky'(t)
+        dxf = dxt.astype(jnp.float32) * lm
+        dx = (dxf * pscale.astype(jnp.float32)[:, None]).astype(xe.dtype)
+        dscale = jnp.sum(dxf * x.astype(jnp.float32), axis=(0, 2))
+        dshift = jnp.sum(dxf, axis=(0, 2))
+    else:
+        dx = dxt.astype(xe.dtype)
+        dscale = jnp.zeros_like(pscale)
+        dshift = jnp.zeros_like(pshift)
+    return (dx, dw.astype(kernel.dtype), dbias, dscale, dshift)
+
+
+conv3d_rows_act.defvjp(_act_fwd, _act_bwd)

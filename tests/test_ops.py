@@ -332,6 +332,111 @@ class TestNestedPresort:
         np.testing.assert_allclose(ga, gb, rtol=1e-4, atol=1e-5)
 
 
+class TestConvRowsFused:
+    """ops/pallas/conv_rows.py::conv3d_rows_act — the fused
+    conv + BN-stats epilogue + BN-affine/LeakyReLU prologue (reference block
+    modules/pvconv.py:20-30). Oracle: transform -> XLA conv -> +bias ->
+    sums, with jax.grad through every differentiable argument."""
+
+    @staticmethod
+    def _ref(x, w, bias, ps, sh, r, has_pro):
+        from pvcnn_tpu.ops.pallas.conv_rows import _xla_fallback_fwd
+
+        if has_pro:
+            t = x * ps[:, None] + sh[:, None]
+            x = jnp.where(t > 0, t, 0.1 * t)
+        y = _xla_fallback_fwd(x, w, r, None) + bias[:, None]
+        return y, jnp.sum(y, axis=(0, 2)), jnp.sum(y * y, axis=(0, 2))
+
+    @pytest.mark.parametrize("has_pro", [False, True])
+    def test_matches_oracle_with_grads(self, rng, has_pro):
+        from pvcnn_tpu.ops.pallas.conv_rows import (conv3d_rows_act,
+                                                    conv_rows_plan)
+
+        b, r, ci, co, k = 2, 16, 8, 16, 3
+        r3 = r ** 3
+        assert conv_rows_plan(b, r, ci, co, k, jnp.float32) is not None
+        x = jnp.asarray(rng.randn(b, ci, r3).astype(np.float32))
+        w = jnp.asarray((rng.randn(k, k, k, ci, co) * 0.1).astype(np.float32))
+        bias = jnp.asarray(rng.randn(co).astype(np.float32))
+        ps = jnp.asarray((rng.rand(ci) + 0.5).astype(np.float32))
+        sh = jnp.asarray(rng.randn(ci).astype(np.float32))
+        cy = jnp.asarray(rng.randn(b, co, r3).astype(np.float32))
+        c1 = jnp.asarray(rng.randn(co).astype(np.float32))
+        c2 = jnp.asarray(rng.randn(co).astype(np.float32) * 1e-3)
+
+        with jax.default_matmul_precision("float32"):
+            got = conv3d_rows_act(x, w, bias, ps, sh, r, has_pro, True)
+            want = self._ref(x, w, bias, ps, sh, r, has_pro)
+            for g, t, name in zip(got, want, "y s1 s2".split()):
+                np.testing.assert_allclose(np.asarray(g), np.asarray(t),
+                                           rtol=2e-4, atol=2e-4,
+                                           err_msg=f"{name} pro={has_pro}")
+
+            def loss(f):
+                def fn(x, w, bias, ps, sh):
+                    y, s1, s2 = f(x, w, bias, ps, sh)
+                    return (jnp.sum(y * cy) + jnp.sum(s1 * c1)
+                            + jnp.sum(s2 * c2))
+                return fn
+
+            ga = jax.grad(loss(lambda *a: conv3d_rows_act(
+                *a, r, has_pro, True)), argnums=(0, 1, 2, 3, 4))(
+                x, w, bias, ps, sh)
+            gb = jax.grad(loss(lambda *a: self._ref(*a, r, has_pro)),
+                          argnums=(0, 1, 2, 3, 4))(x, w, bias, ps, sh)
+        for i, (a, b_) in enumerate(zip(ga, gb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=3e-4, atol=3e-4,
+                                       err_msg=f"grad arg {i} pro={has_pro}")
+
+    def test_pvconv_fused_matches_unfused(self, rng, monkeypatch):
+        """Module-level lock: the fused voxel branch (stats epilogue +
+        prologue chain + final XLA activation + SE) computes the same loss,
+        gradients, BATCH STATS, and eval output as the unfused
+        conv/BatchNorm/leaky stack, with an identical param tree."""
+        from jax.flatten_util import ravel_pytree
+
+        from pvcnn_tpu.nn.pvconv import PVConv
+
+        b, n, ci, co, r = 2, 256, 8, 16, 16
+        feats = jnp.asarray(rng.randn(b, n, ci).astype(np.float32))
+        coords = jnp.asarray((rng.rand(b, n, 3) * 2 - 1).astype(np.float32))
+        model = PVConv(co, kernel_size=3, resolution=r, with_se=True)
+
+        with jax.default_matmul_precision("float32"):
+            variables = model.init({"params": jax.random.PRNGKey(0)},
+                                   feats, coords, train=False)
+            results = {}
+            for knob in ("auto", "0"):
+                monkeypatch.setenv("PVCNN_TPU_CONV_BN_FUSED", knob)
+
+                def loss(p, bs):
+                    (out, _), mut = model.apply(
+                        {"params": p, "batch_stats": bs}, feats, coords,
+                        train=True, mutable=["batch_stats"])
+                    return jnp.sum(out * out), mut["batch_stats"]
+
+                (val, new_bs), grads = jax.value_and_grad(
+                    loss, has_aux=True)(variables["params"],
+                                        variables["batch_stats"])
+                out_eval, _ = model.apply(variables, feats, coords,
+                                          train=False)
+                results[knob] = (val, grads, new_bs, out_eval)
+
+        va, ga, bsa, ea = results["auto"]
+        vb, gb, bsb, eb = results["0"]
+        assert jax.tree.structure(ga) == jax.tree.structure(gb)
+        np.testing.assert_allclose(float(va), float(vb), rtol=1e-5)
+        a, b_ = np.asarray(ravel_pytree(ga)[0]), np.asarray(ravel_pytree(gb)[0])
+        assert np.abs(a - b_).max() < 2e-5 * np.abs(b_).max() + 5e-4
+        np.testing.assert_allclose(np.asarray(ravel_pytree(bsa)[0]),
+                                   np.asarray(ravel_pytree(bsb)[0]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ea), np.asarray(eb),
+                                   rtol=1e-4, atol=1e-4)
+
+
 class TestPallasCostRecorder:
     """ops/pallas/cost.py: kernel wrappers report analytic FLOPs/bytes at
     trace time (bench.py sums them with XLA's cost analysis, which counts
