@@ -60,6 +60,12 @@ _ALL = (
        "Flat-rows Pallas conv3d for the PVConv voxel branch; 0 forces the "
        "XLA NDHWC conv.",
        "headline bf16 B=64: 3.07 -> 4.07 M pts/s (docs/PERFORMANCE.md)"),
+    _c("PVCNN_TPU_CONV_BN_FUSED", "auto", ("auto", "0"),
+       "Fused conv+BN+LeakyReLU voxel branch on the flat-rows path: convs "
+       "emit BN sum/sumsq in the kernel epilogue and apply the previous "
+       "BN's folded affine+LeakyReLU as an input prologue; 0 restores the "
+       "separate BN/activation elementwise passes.",
+       "in-step A/B in docs/PERFORMANCE.md (round 4)"),
     _b("PVCNN_TPU_AVGVOX_SORTED", False,
        "Sorted-kernel avg_voxelize under the trainer presort "
        "(perf-parked: measured SLOWER than the flat one-hot scatter at "
@@ -87,10 +93,12 @@ _ALL = (
        "How the packed devox table is materialized; concat emits the "
        "gather's preferred row-contiguous layout directly.",
        "stack relayouts 512 MB/1.6 ms at headline R=32 (devoxelize.py:319)"),
-    _i("PVCNN_TPU_PRESORTED_BWD_MAX_C", 16,
+    _i("PVCNN_TPU_PRESORTED_BWD_MAX_C", 32,
        "Max channel width for the grouped presorted backward scatter; "
-       "above it the gather-free unsorted packed scatter wins.",
-       "C=32 A/B in devoxelize.py:537 comment"),
+       "above it the gather-free unsorted packed scatter wins. Default 32 "
+       "since the nested presort: the R=16 C=32 grouped path no longer "
+       "pays re-sort machinery.",
+       "headline A/B 29.03 -> 27.91 ms at 32 (round 4, was 16 pre-nested)"),
     _b("PVCNN_TPU_CUSTOM_CONV_WGRAD", False,
        "Custom Pallas/slice weight-grad for the NDHWC conv path "
        "(perf-parked: loses in-step to XLA autodiff at current shapes).",

@@ -68,9 +68,12 @@ def main():
     from pvcnn_tpu.utils import knobs
 
     if knobs.get("PVCNN_TPU_PRESORT"):
-        presort = {"shapenet_pvcnn_0p25": {"resolution": 32, "normalize": False},
-                   "shapenet_pvcnn_1": {"resolution": 32, "normalize": False},
-                   }.get(MODEL)
+        presort = {
+            "shapenet_pvcnn_0p25": {"resolutions": (32, 16),
+                                    "normalize": False},
+            "shapenet_pvcnn_1": {"resolutions": (32, 16),
+                                 "normalize": False},
+        }.get(MODEL)
     trainer = Trainer(model, CrossEntropyLoss(), tx, presort=presort)
     rng = np.random.RandomState(0)
     inputs = rng.randn(BATCH, NUM_POINTS, in_ch).astype(np.float32)
