@@ -26,7 +26,36 @@ from typing import Any, Iterator
 
 import numpy as np
 
-__all__ = ["DataLoader"]
+__all__ = ["DataLoader", "data_parallel_args"]
+
+
+def data_parallel_args(global_batch_size: int, split: str,
+                       process_count: int | None = None) -> dict:
+    """DataLoader kwargs for a split under multi-host data parallelism.
+
+    Train split: each process loads a DISJOINT rank-strided shard
+    (shard_by_process) at the LOCAL batch size global/world, so the global
+    batch assembled by parallel/mesh.shard_batch (which uses
+    jax.make_array_from_process_local_data on multi-host) is an unbiased
+    shuffle of the dataset and every host runs the same step count. Eval
+    splits: every host loads the FULL set at the global batch size —
+    duplicate work, but every host computes identical meters with no
+    cross-host reduction (the reference is single-host; eval is a tiny
+    fraction of epoch time, docs/PERFORMANCE.md). Single-process: a no-op
+    passthrough.
+    """
+    if process_count is None:
+        import jax
+
+        process_count = jax.process_count()
+    if process_count <= 1 or split != "train":
+        return {"batch_size": int(global_batch_size),
+                "shard_by_process": False}
+    assert global_batch_size % process_count == 0, (
+        f"global batch {global_batch_size} must divide evenly over "
+        f"{process_count} processes")
+    return {"batch_size": int(global_batch_size) // process_count,
+            "shard_by_process": True}
 
 
 def _proc_worker(dataset, task_q, out_q):

@@ -44,8 +44,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh):
-    """Device-put every array leaf with its leading axis split over `data`."""
+    """Device-put every array leaf with its leading axis split over `data`.
+
+    Multi-host: each process passes only its LOCAL slice (the rank-strided
+    DataLoader shard, data/loader.py::data_parallel_args) and the global
+    array is assembled from per-process shards — jax.device_put of a full
+    global batch would require every host to hold all the data."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

@@ -119,12 +119,18 @@ def main():
 
     print(f"\n==> loading dataset")
     dataset = configs.dataset()
+    # multi-host: the train split shards rank-strided per process at the
+    # local batch size; eval splits replicate (data/loader.py::
+    # data_parallel_args; mesh.shard_batch assembles the global batch)
+    from pvcnn_tpu.data.loader import data_parallel_args
     loaders = {
-        split: DataLoader(dataset[split], batch_size=configs.train.batch_size,
+        split: DataLoader(dataset[split],
                           shuffle=(split == "train"), seed=seed,
                           num_workers=getattr(configs.data, "num_workers", 0),
                           workers_mode=getattr(configs.data, "workers_mode",
-                                               "thread"))
+                                               "thread"),
+                          **data_parallel_args(configs.train.batch_size,
+                                               split))
         for split in dataset
     }
 

@@ -43,12 +43,15 @@ def main():
     print(configs)
 
     dataset = configs.dataset()
+    from pvcnn_tpu.data.loader import data_parallel_args
     loaders = {
-        split: DataLoader(dataset[split], batch_size=configs.train.batch_size,
+        split: DataLoader(dataset[split],
                           shuffle=(split == "train"), seed=seed,
                           num_workers=getattr(configs.data, "num_workers", 0),
                           workers_mode=getattr(configs.data, "workers_mode",
-                                               "thread"))
+                                               "thread"),
+                          **data_parallel_args(configs.train.batch_size,
+                                               split))
         for split in dataset
     }
 
