@@ -110,6 +110,22 @@ def _build(config: str, dtype: str):
         b, n, in_ch, n_cls = 8, 8192, 9, 13
     elif config == "frustum_pvcnne":
         return _build_frustum(dtype, rng, tx)
+    elif config == "shapenet_dml":
+        # deep-mutual-learning two-model step (reference train_dml.py:107-141):
+        # teacher+student ShapeNet PVCNN 0.25x, mutual KL, one jitted update
+        from pvcnn_tpu.models.shapenet import PVCNN
+        from pvcnn_tpu.nn.loss import KLLoss
+        from pvcnn_tpu.train.trainer import DMLTrainer
+
+        model = PVCNN(num_classes=50, num_shapes=16, extra_feature_channels=3,
+                      width_multiplier=0.25, dtype=dtype)
+        b, n, in_ch, n_cls = 32, NUM_POINTS, 22, 50
+        tx_student, _ = Adam(1e-3)
+        trainer = DMLTrainer(model, CrossEntropyLoss(), tx, tx_student,
+                             KLLoss())
+        inputs = rng.randn(b, n, in_ch).astype(np.float32)
+        labels = rng.randint(0, n_cls, size=(b, n))
+        return trainer, inputs, labels, b, n
     else:
         raise ValueError(config)
     from pvcnn_tpu.utils import knobs
@@ -227,7 +243,7 @@ def _measure(config: str, dtype: str, windows: int = WINDOWS,
     # backend; a scalar host fetch is the only reliable fence, so each window
     # enqueues `iters` steps and subtracts the measured fence round-trip.
     def fence(x):
-        return float(np.asarray(x))
+        return float(np.asarray(jax.tree.leaves(x)[0]))
 
     for _ in range(WARMUP):
         state, loss = trainer._train_step(state, batch, key)
@@ -259,6 +275,7 @@ EXTRA_CONFIGS = (
     ("s3dis_pvcnn_1", "float32"),
     ("s3dis_pvcnn2_1", "float32"),
     ("frustum_pvcnne", "float32"),
+    ("shapenet_dml", "float32"),
 )
 
 

@@ -83,13 +83,15 @@ def _disable_dropout(twin, monkeypatch):
             mod.eval()
 
 
-def _torch_train(twin, batches, lr, weight_decay, schedule_tmax=None):
+def _torch_train(twin, batches, lr, weight_decay, schedule_tmax=None,
+                 snapshots=None):
     opt = torch.optim.Adam(twin.parameters(), lr=lr,
                            weight_decay=weight_decay)
     sched = (torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=schedule_tmax)
              if schedule_tmax else None)
     losses = []
-    for x, y in batches:
+    snaps = {}
+    for k, (x, y) in enumerate(batches):
         opt.zero_grad()
         out = twin(torch.from_numpy(x))
         loss = torch.nn.functional.cross_entropy(out, torch.from_numpy(y))
@@ -98,7 +100,10 @@ def _torch_train(twin, batches, lr, weight_decay, schedule_tmax=None):
         if sched is not None:
             sched.step()
         losses.append(float(loss.detach()))
-    return np.asarray(losses)
+        if snapshots and (k + 1) in snapshots:
+            snaps[k + 1] = {key: v.detach().numpy().copy()
+                            for key, v in twin.state_dict().items()}
+    return np.asarray(losses), snaps
 
 
 def _jax_trainer(case, x0, state0, lr, weight_decay):
@@ -118,12 +123,13 @@ def _jax_trainer(case, x0, state0, lr, weight_decay):
     return trainer, state
 
 
-def _jax_train(trainer, state, batches, schedule=None):
+def _jax_train(trainer, state, batches, schedule=None, snapshots=None):
     from pvcnn_tpu.parallel import mesh as pmesh
     from pvcnn_tpu.train.optim import set_learning_rate
 
     key = jax.random.PRNGKey(0)
     losses = []
+    snaps = {}
     for k, (x, y) in enumerate(batches):
         if schedule is not None:
             set_learning_rate(state.opt_state, schedule(k))
@@ -131,7 +137,26 @@ def _jax_train(trainer, state, batches, schedule=None):
             (x.transpose(0, 2, 1), y.astype(np.int32)), trainer.mesh)
         state, loss = trainer._train_step(state, batch, key)
         losses.append(float(loss))
-    return state, np.asarray(losses)
+        if snapshots and (k + 1) in snapshots:
+            snaps[k + 1] = jax.tree.map(np.asarray, state.batch_stats)
+    return state, np.asarray(losses), snaps
+
+
+def _bn_stats_rel_l2(torch_state, jax_bn_stats, variables, case):
+    """Global rel-l2 between our BN running-stat tree and the twin's (mapped
+    through the import shim)."""
+    import flax
+
+    from pvcnn_tpu.utils import checkpoint_import as ci
+
+    _, want_bs = ci.import_state_dict(
+        torch_state, flax.core.unfreeze(variables["params"]),
+        flax.core.unfreeze(variables["batch_stats"]), case["mapping"]())
+    got = np.concatenate([np.ravel(np.asarray(v, np.float64))
+                          for v in jax.tree.leaves(jax_bn_stats)])
+    want = np.concatenate([np.ravel(np.asarray(v, np.float64))
+                           for v in jax.tree.leaves(want_bs)])
+    return np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-30)
 
 
 def _param_rel_l2(state, twin, case):
@@ -210,17 +235,250 @@ def test_training_trajectory_matches_twin(name, monkeypatch):
     # parameters in place, so without .copy() the jax run would start from
     # the post-training torch weights
     state0 = {k: v.copy() for k, v in tw.state_dict_numpy(twin).items()}
-    losses_t = _torch_train(twin, batches, LR, WEIGHT_DECAY,
-                            schedule_tmax=K_STEPS)
+    snaps = (1, K_STEPS)
+    losses_t, snaps_t = _torch_train(twin, batches, LR, WEIGHT_DECAY,
+                                     schedule_tmax=K_STEPS, snapshots=snaps)
 
     x0 = jnp.asarray(batches[0][0].transpose(0, 2, 1))
     trainer, state = _jax_trainer(case, x0, state0, LR, WEIGHT_DECAY)
+    variables = {"params": jax.tree.map(np.asarray, state.params),
+                 "batch_stats": jax.tree.map(np.asarray, state.batch_stats)}
     schedule = CosineAnnealingLR(t_max=K_STEPS, base_lr=LR)
-    state, losses_j = _jax_train(trainer, state, batches, schedule)
+    state, losses_j, snaps_j = _jax_train(trainer, state, batches, schedule,
+                                          snapshots=snaps)
 
     rel = np.abs(losses_j - losses_t) / np.maximum(np.abs(losses_t), 1e-6)
     # measured on two correct implementations: max 2.8%, mean <1%, spikes
     # uncorrelated with k (pure gate-flip noise, no compounding bias)
     assert rel[0] < 2e-2, rel[0]
     assert rel.max() < 5e-2, (rel.argmax(), rel.max())
+    assert rel.mean() < 2e-2, rel.mean()
+
+    # BN running stats: EMA of per-step batch stats. After ONE step both
+    # sides saw the same weights and batch, so any drift is pure fp noise —
+    # a wrong momentum constant or biased/unbiased-variance mixup shifts the
+    # updated fraction by O(1) and fails the step-1 gate immediately. At
+    # K=30 the chaotic param separation (see module docstring) feeds back
+    # into the batch stats, so only a loose envelope holds there.
+    rel_bn1 = _bn_stats_rel_l2(snaps_t[1], snaps_j[1], variables, case)
+    assert rel_bn1 < 1e-3, rel_bn1
+    # measured on two correct implementations: 0.36 (shapenet) — the EMA
+    # tracks batch stats of chaotically-separated params (~0.7 param rel-l2
+    # by K=30), so only a loose envelope holds here; the step-1 gate above
+    # is the semantic lock
+    rel_bnk = _bn_stats_rel_l2(snaps_t[K_STEPS], snaps_j[K_STEPS],
+                               variables, case)
+    assert rel_bnk < 0.6, rel_bnk
+
+
+@pytest.mark.slow
+def test_frustum_training_trajectory_matches_twin(monkeypatch):
+    """K-step trajectory parity for the Frustum three-stage pipeline
+    (instance seg -> logits_mask resampling -> center regression -> box
+    estimation) under the full multi-task FrustumPointNetLoss — the VERDICT
+    r3 gap: the pipeline's on-device sampler had no K-step check. Both
+    frameworks' logits_mask samplers are patched to the SAME deterministic
+    cyclic-fill law (candidate p of k chosen floor(M/k)+(p < M mod k) times
+    in index order) so train-mode BN statistics downstream of the resample
+    see identical point multisets; everything else runs the production
+    code."""
+    import pvcnn_tpu.ops.sampling as sampling
+    from test_model_parity import FRUSTUM_CASES, _import_into
+
+    def det_indices(mask, m, rng):
+        b, n = mask.shape
+        idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+        key = jnp.where(mask, idx, idx + n)
+        order = jnp.argsort(key, axis=-1).astype(jnp.int32)
+        cnt = jnp.maximum(jnp.sum(mask, -1), 1).astype(jnp.int32)
+        j = jax.lax.broadcasted_iota(jnp.int32, (b, m), 1)
+        return jnp.take_along_axis(order, j % cnt[:, None], axis=1)
+
+    monkeypatch.setattr(sampling, "logits_mask_indices", det_indices)
+    monkeypatch.setattr(tw, "logits_mask", tw.logits_mask_deterministic)
+
+    from pvcnn_tpu.nn import FrustumPointNetLoss
+    from pvcnn_tpu.parallel import mesh as pmesh
+    from pvcnn_tpu.train.optim import Adam
+    from pvcnn_tpu.train.trainer import Trainer
+    from test_model_parity import SIZE_TEMPLATES
+
+    k_steps, nh, ns = 20, 12, 8
+    case = FRUSTUM_CASES["frustum_pvcnne"]
+    twin = tw.randomize(case["twin"](), seed=_seed("frustum_traj"))
+    _disable_dropout(twin, monkeypatch)
+    state0 = {k: v.copy() for k, v in tw.state_dict_numpy(twin).items()}
+
+    rng = np.random.RandomState(_seed("frustum_traj"))
+    batches = []
+    for _ in range(k_steps):
+        feats = rng.randn(B, 4, N).astype(np.float32)
+        feats[:, :3] *= 0.35
+        inputs = {"features": feats,
+                  "one_hot_vectors": np.eye(3, dtype=np.float32)[
+                      rng.randint(0, 3, size=(B,))]}
+        targets = {
+            "mask_logits": rng.randint(0, 2, size=(B, N)).astype(np.int64),
+            "center": (rng.randn(B, 3) * 0.3).astype(np.float32),
+            "heading_bin_id": rng.randint(0, nh, size=(B,)).astype(np.int64),
+            "heading_residual": (rng.randn(B) * 0.1).astype(np.float32),
+            "size_template_id": rng.randint(0, ns, size=(B,)).astype(np.int64),
+            "size_residual": (rng.randn(B, 3) * 0.1).astype(np.float32),
+        }
+        batches.append((inputs, targets))
+
+    # ---- torch ----
+    # LR 5x below the pvcnn tests': the frustum pipeline's HARD gates (the
+    # foreground mask logits[0] < logits[1] reroutes a point's entire
+    # downstream contribution when it flips; the corners loss min-flip) make
+    # gate-flip chaos much denser than pvcnn's ReLU flips at B=8, N=64 —
+    # at LR=1e-3 the loss band is ~30% spikes on two correct
+    # implementations, at 2e-4 the flips are rare enough to compare
+    lr = 2e-4
+    criterion_t = tw.TwinFrustumLoss(nh, ns, SIZE_TEMPLATES)
+    opt = torch.optim.Adam(twin.parameters(), lr=lr,
+                           weight_decay=WEIGHT_DECAY)
+    rs = np.random.RandomState(0)      # ignored by the deterministic sampler
+    losses_t = []
+    snaps_t = {}
+    for k, (inputs, targets) in enumerate(batches):
+        opt.zero_grad()
+        out = twin({k2: torch.from_numpy(v) for k2, v in inputs.items()}, rs)
+        loss = criterion_t(out, {k2: torch.from_numpy(v)
+                                 for k2, v in targets.items()})
+        loss.backward()
+        opt.step()
+        losses_t.append(float(loss.detach()))
+        if k == 0:
+            snaps_t[1] = {key: v.detach().numpy().copy()
+                          for key, v in twin.state_dict().items()}
+    losses_t = np.asarray(losses_t)
+
+    # ---- jax ----
+    model = case["flax"]()
+    criterion_j = FrustumPointNetLoss(num_heading_angle_bins=nh,
+                                      num_size_templates=ns,
+                                      size_templates=SIZE_TEMPLATES)
+    x0 = {"features": jnp.asarray(
+              batches[0][0]["features"].transpose(0, 2, 1)),
+          "one_hot_vectors": jnp.asarray(batches[0][0]["one_hot_vectors"])}
+    variables = _import_into(model, x0, state0, case["mapping"]())
+    tx, _ = Adam(lr, weight_decay=WEIGHT_DECAY)
+    trainer = Trainer(model, criterion_j, tx, has_sample_rng=True)
+    state = trainer.init_state(jax.tree.map(lambda x: x[:1], x0))
+    state = state.replace(params=variables["params"],
+                          batch_stats=variables["batch_stats"])
+    state = jax.device_put(state, pmesh.replicated(trainer.mesh))
+    key = jax.random.PRNGKey(0)
+    losses_j = []
+    snaps_j = {}
+    for k, (inputs, targets) in enumerate(batches):
+        batch = pmesh.shard_batch(
+            ({"features": inputs["features"].transpose(0, 2, 1),
+              "one_hot_vectors": inputs["one_hot_vectors"]}, targets),
+            trainer.mesh)
+        state, loss = trainer._train_step(state, batch, key)
+        losses_j.append(float(loss))
+        if k == 0:
+            snaps_j[1] = jax.tree.map(np.asarray, state.batch_stats)
+    losses_j = np.asarray(losses_j)
+
+    # step-1 BN running stats: same weights, same batch, same (pinned)
+    # sampler multiset -> fp noise only; the momentum/unbiased-var semantic
+    # lock for the three sub-networks' BN stacks
+    vars_np = {"params": jax.tree.map(np.asarray, variables["params"]),
+               "batch_stats": jax.tree.map(np.asarray,
+                                           variables["batch_stats"])}
+    rel_bn1 = _bn_stats_rel_l2(snaps_t[1], snaps_j[1], vars_np, case)
+    assert rel_bn1 < 1e-3, rel_bn1
+    rel = np.abs(losses_j - losses_t) / np.maximum(np.abs(losses_t), 1e-6)
+    # Step-1 agreement is exquisite (measured 2.4e-6: full pipeline + loss +
+    # optimizer + BN agree bit-tight-ish after one update). The later band is
+    # WIDE by design: each foreground-mask flip reroutes a whole point's
+    # contribution through three sub-networks (not one ReLU element), so at
+    # B=8, N=64 a single flip moves the multi-task loss by ~10%. Measured on
+    # two correct implementations at lr=2e-4: first flip at step ~8, spikes
+    # 9-16%, uncorrelated with k, mean ~5%.
+    assert rel[0] < 1e-3, rel[0]
+    assert rel[:5].max() < 5e-2, rel[:5]
+    assert rel.max() < 0.35, (rel.argmax(), rel.max())
+    assert rel.mean() < 0.08, rel.mean()
+
+
+@pytest.mark.slow
+def test_dml_training_trajectory_matches_twin(monkeypatch):
+    """K-step DML trajectory: two models, each step adds
+    KL(softmax(sg(peer)) || softmax(self)) to its CE loss and both update
+    inside one jitted step (train/trainer.py DMLTrainer; reference
+    train_dml.py:107-141). The torch twin loop implements the same update
+    rule; both loss trajectories must stay inside the gate-flip noise
+    band."""
+    import torch.nn.functional as F
+
+    from pvcnn_tpu.nn.loss import CrossEntropyLoss, KLLoss
+    from pvcnn_tpu.parallel import mesh as pmesh
+    from pvcnn_tpu.train.optim import Adam
+    from pvcnn_tpu.train.trainer import DMLState, DMLTrainer
+
+    k_steps = 20
+    name = "pvcnn_shapenet"
+    case, channels, num_classes = _case(name)
+    batches = _batches("dml_traj", channels, num_classes, k=k_steps)
+
+    twins = [tw.randomize(case["twin"](), seed=s) for s in (11, 22)]
+    for twin in twins:
+        _disable_dropout(twin, monkeypatch)
+    states0 = [{k: v.copy() for k, v in tw.state_dict_numpy(t).items()}
+               for t in twins]
+
+    # ---- torch ----
+    def tkl(peer, out):
+        # KL(softmax(sg(peer)) || softmax(out)), class axis 1, mean over B,N
+        px = F.softmax(peer.detach(), dim=1)
+        return (px * (px.log() - F.log_softmax(out, dim=1))).sum(1).mean()
+
+    opts = [torch.optim.Adam(t.parameters(), lr=LR,
+                             weight_decay=WEIGHT_DECAY) for t in twins]
+    losses_t = [[], []]
+    for x, y in batches:
+        xt, yt = torch.from_numpy(x), torch.from_numpy(y)
+        outs = [t(xt) for t in twins]
+        for i in (0, 1):
+            opts[i].zero_grad()
+            loss = F.cross_entropy(outs[i], yt) + tkl(outs[1 - i], outs[i])
+            loss.backward(retain_graph=(i == 0))
+            opts[i].step()
+            losses_t[i].append(float(loss.detach()))
+    losses_t = np.asarray(losses_t)
+
+    # ---- jax ----
+    from test_model_parity import _import_into
+
+    model = case["flax"]()
+    x0 = jnp.asarray(batches[0][0].transpose(0, 2, 1))
+    tx, _ = Adam(LR, weight_decay=WEIGHT_DECAY)
+    tx_student, _ = Adam(LR, weight_decay=WEIGHT_DECAY)
+    trainer = DMLTrainer(model, CrossEntropyLoss(), tx, tx_student, KLLoss())
+    state = trainer.init_state(x0[:1])
+    halves = []
+    for sub, s0 in zip((state.teacher, state.student), states0):
+        v = _import_into(model, x0, s0, case["mapping"]())
+        halves.append(sub.replace(params=v["params"],
+                                  batch_stats=v["batch_stats"]))
+    state = jax.device_put(DMLState(teacher=halves[0], student=halves[1]),
+                           pmesh.replicated(trainer.mesh))
+    key = jax.random.PRNGKey(0)
+    losses_j = [[], []]
+    for x, y in batches:
+        batch = pmesh.shard_batch(
+            (x.transpose(0, 2, 1), y.astype(np.int32)), trainer.mesh)
+        state, loss = trainer._train_step(state, batch, key)
+        losses_j[0].append(float(loss["loss/train"]))
+        losses_j[1].append(float(loss["loss/train_student"]))
+    losses_j = np.asarray(losses_j)
+
+    rel = np.abs(losses_j - losses_t) / np.maximum(np.abs(losses_t), 1e-6)
+    assert rel[:, 0].max() < 2e-2, rel[:, 0]
+    assert rel.max() < 5e-2, (np.unravel_index(rel.argmax(), rel.shape),
+                              rel.max())
     assert rel.mean() < 2e-2, rel.mean()

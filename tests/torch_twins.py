@@ -915,6 +915,115 @@ class TwinFrustumNet(nn.Module):
         return out
 
 
+class TwinFrustumLoss(nn.Module):
+    """Torch twin of pvcnn_tpu/nn/frustum.py::FrustumPointNetLoss (reference
+    modules/frustum.py:11-90): mask/heading/size cross entropies, Huber
+    center + residual terms, and the flip-min corners Huber. Used by the
+    frustum training-trajectory parity test."""
+
+    def __init__(self, num_heading_angle_bins, num_size_templates,
+                 size_templates, box_loss_weight=1.0,
+                 corners_loss_weight=10.0,
+                 heading_residual_loss_weight=20.0,
+                 size_residual_loss_weight=20.0):
+        super().__init__()
+        self.nh = num_heading_angle_bins
+        self.ns = num_size_templates
+        self.register_buffer("size_templates", torch.as_tensor(
+            size_templates, dtype=torch.float32).view(self.ns, 3))
+        self.w_box = box_loss_weight
+        self.w_corners = corners_loss_weight
+        self.w_hres = heading_residual_loss_weight
+        self.w_sres = size_residual_loss_weight
+
+    @staticmethod
+    def _huber(err, delta):
+        a = err.abs()
+        q = torch.clamp(a, max=delta)
+        return (0.5 * q * q + delta * (a - q)).mean()
+
+    @staticmethod
+    def _corners(centers, headings, sizes, flip):
+        l, w, h = sizes[:, 0], sizes[:, 1], sizes[:, 2]
+        x_c = torch.stack([l, l, -l, -l, l, l, -l, -l], dim=1) * 0.5
+        y_c = torch.stack([h, h, h, h, -h, -h, -h, -h], dim=1) * 0.5
+        z_c = torch.stack([w, -w, -w, w, w, -w, -w, w], dim=1) * 0.5
+        corners = torch.stack([x_c, y_c, z_c], dim=1)         # (B, 3, 8)
+        c, s = torch.cos(headings), torch.sin(headings)
+        o, z = torch.ones_like(headings), torch.zeros_like(headings)
+        rot = torch.stack([c, z, s, z, o, z, -s, z, c],
+                          dim=1).view(-1, 3, 3)
+        out = torch.matmul(rot, corners) + centers[:, :, None]
+        if not flip:
+            return out
+        rot_f = torch.stack([-c, z, -s, z, o, z, s, z, -c],
+                            dim=1).view(-1, 3, 3)
+        return out, torch.matmul(rot_f, corners) + centers[:, :, None]
+
+    def forward(self, inputs, targets):
+        import torch.nn.functional as F
+
+        nh = self.nh
+        bins = torch.arange(0, 2 * np.pi, 2 * np.pi / nh,
+                            dtype=torch.float32)
+        mask_t = targets["mask_logits"].long()
+        center_t = targets["center"]
+        hid = targets["heading_bin_id"].long()
+        hres_t = targets["heading_residual"]
+        sid = targets["size_template_id"].long()
+        sres_t = targets["size_residual"]
+        batch = torch.arange(center_t.shape[0])
+
+        loss = F.cross_entropy(inputs["mask_logits"], mask_t)
+        loss_h = F.cross_entropy(inputs["heading_scores"], hid)
+        loss_s = F.cross_entropy(inputs["size_scores"], sid)
+        loss_c = self._huber(
+            (center_t - inputs["center"]).norm(dim=-1), 2.0)
+        loss_cr = self._huber(
+            (center_t - inputs["center_reg"]).norm(dim=-1), 1.0)
+        hres_sel = inputs["heading_residuals_normalized"][batch, hid]
+        loss_hres = self._huber(hres_sel - hres_t / (np.pi / nh), 1.0)
+        sres_sel = inputs["size_residuals_normalized"][batch, sid]
+        loss_sres = self._huber(
+            (sres_t / self.size_templates[sid] - sres_sel).norm(dim=-1), 1.0)
+
+        heading = inputs["heading_residuals"][batch, hid] + bins[hid]
+        size = inputs["size_residuals"][batch, sid] + self.size_templates[sid]
+        corners = self._corners(inputs["center"], heading, size, False)
+        heading_t = bins[hid] + hres_t
+        size_t = self.size_templates[sid] + sres_t
+        corners_t, corners_tf = self._corners(center_t, heading_t, size_t,
+                                              True)
+        loss_corners = self._huber(
+            torch.minimum((corners - corners_t).norm(dim=1),
+                          (corners - corners_tf).norm(dim=1)), 1.0)
+
+        return loss + self.w_box * (
+            loss_c + loss_cr + loss_h + loss_s
+            + self.w_hres * loss_hres + self.w_sres * loss_sres
+            + self.w_corners * loss_corners)
+
+
+def logits_mask_deterministic(coords, logits, num_points_per_object, rs):
+    """Drop-in for `logits_mask` with a DETERMINISTIC cyclic fill (candidate
+    p of k selected floor(M/k)+(p < M mod k) times, in index order): the
+    trajectory parity tests patch BOTH frameworks' samplers to this law so
+    train-mode BN statistics downstream see identical point multisets."""
+    b, _, n = coords.shape
+    m = num_points_per_object
+    mask = logits[:, 0, :] < logits[:, 1, :]
+    cnt = mask.sum(-1, keepdim=True)
+    masked = coords * mask.view(b, 1, n)
+    mean = masked.sum(-1) / torch.clamp(cnt, min=1).float()
+    sel = torch.zeros((b, m), dtype=torch.int64)
+    for i in range(b):
+        cand = mask[i].nonzero().view(-1)
+        k = max(cand.numel(), 1)
+        cand = cand if cand.numel() else torch.zeros(1, dtype=torch.int64)
+        sel[i] = cand[torch.arange(m) % k]
+    return gather(masked - mean.view(b, -1, 1), sel), mean, mask
+
+
 # ---- init helpers ------------------------------------------------------------
 
 
