@@ -305,7 +305,9 @@ def main():
         extras = {}
         for config, dtype in EXTRA_CONFIGS:
             try:
-                r, _ = _measure(config, dtype, windows=2, iters=15)
+                # 3 windows x 20 iters: r3's 2x15 left frustum_pvcnne with a
+                # 9.6% spread and no way to tell drift from regression
+                r, _ = _measure(config, dtype, windows=3, iters=20)
                 extras[config] = r
             except Exception as e:  # one config must not sink the record
                 extras[config] = {"error": f"{type(e).__name__}: {e}"}

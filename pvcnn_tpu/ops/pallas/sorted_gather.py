@@ -69,6 +69,9 @@ def sorted_gather_plan(num_bins: int, rows: int, c: int, off_max: int,
     if rows % 8 or c % 8 or c > 64 or 8 * c > 512:
         return None
     mm_bytes = 4 if mm_dtype == jnp.float32 else 2
+    # bs floor is 128: rows live on LANES in the transposed values
+    # layout, so row-block slices must be 128-aligned (Mosaic rejects
+    # sub-128 lane offsets; bs=64 A/B attempt failed to compile r4)
     bs = 256 if batch * rows <= 65536 else 128
     if rows % bs:
         return None

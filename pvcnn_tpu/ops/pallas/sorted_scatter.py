@@ -68,6 +68,9 @@ def sorted_scatter_plan(num_bins: int, rows: int, kc: int, c: int,
     mm_bytes = 4 if mm_dtype == jnp.float32 else 2
     # block size: sublane-window granularity. Small batches amortize per-tile
     # loop overhead worse; a wider block halves the iterations (measured).
+    # bs floor is 128: rows live on LANES in the transposed values
+    # layout, so row-block slices must be 128-aligned (Mosaic rejects
+    # sub-128 lane offsets; bs=64 A/B attempt failed to compile r4)
     bs = 256 if batch * rows <= 65536 else 128
     if rows % bs:
         return None

@@ -327,3 +327,24 @@ def test_devox_fwd_sorted_gather_multichunk_and_skew(rng, monkeypatch):
     got, _ = dv._devox_fwd(jnp.asarray(grid), jnp.asarray(nc), r)
     want = oracles.trilinear_devoxelize(grid, nc)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("c,bins", [(6, 2048), (7, 32768), (10, 4096),
+                                    (40, 2048)])
+def test_scatter_sum_subslot_expansion_exact(rng, c, bins):
+    """_scatter_sum's sub-slot expansion (ops/voxelize.py): scattering
+    e-expanded values x (x) 1[idx mod e == s] into bins/e coarse bins and
+    reshaping must equal the plain segment_sum for every expansion level the
+    gate picks (incl. c=40 -> e=1 passthrough and c=7/bins=32768 -> e=16,
+    the headline avgvox shape class where the M=8 one-hot dot idled 15/16 of
+    the MXU's sublane rows)."""
+    b, n = 2, 512
+    v = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+    i = jnp.asarray(rng.randint(0, bins, (b, n)).astype(np.int32))
+    from pvcnn_tpu.ops.voxelize import _scatter_sum
+
+    with jax.default_matmul_precision("float32"):
+        got = np.asarray(_scatter_sum(v, i, bins))
+    want = np.asarray(jax.vmap(
+        lambda vv, ii: jax.ops.segment_sum(vv, ii, num_segments=bins))(v, i))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
