@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 import multiprocessing as mp
+import os as _os
 import queue
 import threading
 from typing import Any, Iterator
