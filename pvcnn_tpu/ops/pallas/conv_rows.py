@@ -68,8 +68,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _precision(dtype):
-    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
+    if dtype != jnp.float32:
+        return jax.lax.Precision.DEFAULT
+    from pvcnn_tpu.utils import knobs
+
+    return (jax.lax.Precision.HIGH
+            if knobs.get("PVCNN_TPU_FP32_CONV_PRECISION") == "high"
+            else jax.lax.Precision.HIGHEST)
 
 
 def conv_rows_plan(b, r, ci, co, k, dtype):

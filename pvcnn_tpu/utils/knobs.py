@@ -123,6 +123,12 @@ _ALL = (
        "bench.py / tools: build the trainer with the batch presort "
        "(configs carry it by default; 0 A/Bs the unsorted path).",
        "presort A/B in docs/PERFORMANCE.md"),
+    _c("PVCNN_TPU_FP32_CONV_PRECISION", "highest", ("highest", "high"),
+       "MXU precision for fp32-input convs in the Pallas flat-rows kernel: "
+       "highest = 6-pass bf16 (full f32 semantics), high = 3-pass bf16_3x "
+       "(~21 mantissa bits — still strictly tighter than the TF32 10-bit "
+       "mantissa modern-GPU torch runs the reference's convs at).",
+       "fp32 recipe A/B in docs/PERFORMANCE.md (round 4)"),
 )
 
 KNOBS = {k.name: k for k in _ALL}
