@@ -251,7 +251,24 @@ def _wgrad_kernel(k, r, tile, chunk, single, x0_ref, x1_ref, g_ref, out_ref,
             precision=_precision(xw.dtype))
 
 
-def _stage_act(xw, dst_off, width, src, glob0, c0, r3, has_pro, pro_ref):
+_STAGE_SUB = 1024  # columns per prologue sub-slice (bounds kernel stack)
+
+# Mosaic's default scoped-VMEM cap is 16 MB; the fused kernels' unrolled
+# chunk loop keeps each iteration's masked-window temporaries live on the
+# stack (measured: chunk=512 fp32 C=64 plan -> 18.73 MB, and HALVING the
+# chunk RAISES it to 27.29 MB — stack slots are allocated per unrolled
+# iteration, not reused), so fp32 C=64 plans exceed the default cap even
+# though the physical budget is fine (v5e: 128 MB VMEM/core; explicit
+# scratch ~11 MB + stack ~19 MB). Raising the cap changes no generated
+# code — Mosaic only checks usage against it.
+_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
+def _stage_act(xw, dst_off, width, src_ref, glob0, c0, r3, has_pro, pro_ref):
     """Stage an x block into the xw scratch, optionally applying the fused
     BN-affine + LeakyReLU(0.1) input prologue in f32: the consumer-side half
     of the conv+BN+LeakyReLU fusion (reference modules/pvconv.py:20-30 —
@@ -263,17 +280,27 @@ def _stage_act(xw, dst_off, width, src, glob0, c0, r3, has_pro, pro_ref):
     SAME zero padding on the POST-activation tensor), and leaky(0*s+t) != 0,
     so an in-grid column mask (c0 <= global col < c0 + r3) re-zeroes them —
     the same periodic-iota trick as the y/z tap masks, but on the global
-    column index."""
-    v = src
-    if has_pro:
-        sc = pro_ref[:, 0:1]
-        sh = pro_ref[:, 1:2]
+    column index.
+
+    The transform runs in _STAGE_SUB-column sub-slices read straight from the
+    ref: a whole-block pass materializes ~10 live f32 temporaries of the full
+    block on the Mosaic stack — 18-29 MB at fp32 C=64 plans, over the 16 MB
+    scoped-VMEM limit (observed as AOT compile failures on the fp32 extra
+    configs); sub-slicing caps the stack at ~10 * ci_pad * 1024 * 4 bytes."""
+    if not has_pro:
+        xw[:, pl.ds(dst_off, width)] = src_ref[0]
+        return
+    sc = pro_ref[:, 0:1]
+    sh = pro_ref[:, 1:2]
+    for off in range(0, width, _STAGE_SUB):
+        w = min(_STAGE_SUB, width - off)
+        v = src_ref[0, :, pl.ds(off, w)]
         t = v.astype(jnp.float32) * sc + sh
         a = jnp.where(t > 0, t, 0.1 * t)
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1) + glob0
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1) + (glob0 + off)
         valid = (col >= c0) & (col < c0 + r3)
-        v = jnp.where(valid, a, 0.0).astype(v.dtype)
-    xw[:, pl.ds(dst_off, width)] = v
+        xw[:, pl.ds(dst_off + off, w)] = jnp.where(valid, a, 0.0).astype(
+            v.dtype)
 
 
 def _fwd_act_kernel(k, r, tile, chunk, single, has_pro, want_stats,
@@ -302,11 +329,11 @@ def _fwd_act_kernel(k, r, tile, chunk, single, has_pro, want_stats,
 
     if single:
         xblock = x0_ref.shape[2]
-        _stage_act(xw, 0, xblock, x0_ref[0], 0, c0, r3, has_pro, pro_ref)
+        _stage_act(xw, 0, xblock, x0_ref, 0, c0, r3, has_pro, pro_ref)
     else:
-        _stage_act(xw, 0, tile, x0_ref[0], ti * tile, c0, r3, has_pro,
+        _stage_act(xw, 0, tile, x0_ref, ti * tile, c0, r3, has_pro,
                    pro_ref)
-        _stage_act(xw, tile, tile, x1_ref[0], (ti + 1) * tile, c0, r3,
+        _stage_act(xw, tile, tile, x1_ref, (ti + 1) * tile, c0, r3,
                    has_pro, pro_ref)
 
     def window(s0):
@@ -359,11 +386,11 @@ def _wgrad_act_kernel(k, r, tile, chunk, single, has_pro,
     ci_pad = x0_ref.shape[1]
     if single:
         xblock = x0_ref.shape[2]
-        _stage_act(xw, 0, xblock, x0_ref[0], 0, c0, r3, has_pro, pro_ref)
+        _stage_act(xw, 0, xblock, x0_ref, 0, c0, r3, has_pro, pro_ref)
     else:
-        _stage_act(xw, 0, tile, x0_ref[0], ti * tile, c0, r3, has_pro,
+        _stage_act(xw, 0, tile, x0_ref, ti * tile, c0, r3, has_pro,
                    pro_ref)
-        _stage_act(xw, tile, tile, x1_ref[0], (ti + 1) * tile, c0, r3,
+        _stage_act(xw, tile, tile, x1_ref, (ti + 1) * tile, c0, r3,
                    has_pro, pro_ref)
 
     def window(s0):
@@ -489,6 +516,7 @@ def _run_fwd(x, kernel, r, out_dtype=None, plan=None, padded=False):
             pltpu.VMEM((k * k * ci_pad, span), xe.dtype),
             pltpu.VMEM((k * co_pad, span), jnp.float32),
         ],
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(xe, xe, w2)
     return out
@@ -527,6 +555,7 @@ def _run_wgrad(xe, g, r, k, ci, plan):
             pltpu.VMEM((ci_pad, 128 if single else 2 * tile), xe.dtype),
             pltpu.VMEM((k ** 3 * ci_pad, chunk), xe.dtype),
         ],
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(xe, xe, ge)
     # out columns follow the pk row order (ky, kz, kx, ci) -> [kx,ky,kz,ci,co]
@@ -650,6 +679,7 @@ def _run_fwd_act(xe, kernel, bias, pro, r, plan, want_stats, out_dtype):
             pltpu.VMEM((k * k * ci_pad, span), xe.dtype),
             pltpu.VMEM((k * co_pad, span), jnp.float32),
         ],
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(xe, xe, w2, pro, bias2)
     return out, stats
@@ -693,6 +723,7 @@ def _run_wgrad_act(xe, g, r, k, ci, plan, pro):
             pltpu.VMEM((ci_pad, xblock if single else 2 * tile), xe.dtype),
             pltpu.VMEM((k ** 3 * ci_pad, chunk), xe.dtype),
         ],
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(xe, xe, ge, pro)
     out = out[:co].reshape(co, k, k, k, ci_pad)[..., :ci]
