@@ -333,7 +333,7 @@ def main():
                     transient = ("remote_compile" in str(e)
                                  or "HTTP 500" in str(e))
                     extras[config] = {"error": f"{type(e).__name__}: {e}"}
-                    if not transient:
+                    if not transient or attempt == 2:
                         break
                     time.sleep(20.0 * (attempt + 1))
         record["extra_configs"] = extras

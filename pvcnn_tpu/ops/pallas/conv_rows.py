@@ -33,9 +33,12 @@ stacked on M (one per kx tap, M = k*Co, K = k^2*Ci) over a widened column
 span, then combine with k vreg-ALIGNED lane shifts (kx*R^2 is a 128-multiple)
 — 3x the M-utilization for (1 + (k-1)*R^2/chunk)x redundant columns.
 
-Numerics: f32 accumulation (HIGHEST precision for f32 inputs, like the other
-Pallas kernels); allclose vs the XLA conv oracle, not bitwise (tile order
-differs). Zero out-of-grid semantics match torch Conv3d(padding=k//2).
+Numerics: f32 accumulation; fp32 inputs default to HIGHEST MXU precision
+(6-pass bf16, full f32 semantics) with PVCNN_TPU_FP32_CONV_PRECISION=high
+selecting 3-pass bf16_3x (~21 mantissa bits, still tighter than the TF32
+mode torch runs the reference's convs at) — see _precision and docs/KNOBS.md.
+allclose vs the XLA conv oracle, not bitwise (tile order differs). Zero
+out-of-grid semantics match torch Conv3d(padding=k//2).
 """
 
 from __future__ import annotations

@@ -65,7 +65,8 @@ _ALL = (
        "emit BN sum/sumsq in the kernel epilogue and apply the previous "
        "BN's folded affine+LeakyReLU as an input prologue; 0 restores the "
        "separate BN/activation elementwise passes.",
-       "in-step A/B in docs/PERFORMANCE.md (round 4)"),
+       "round-4 cumulative sweep row 27.5 ms in docs/PERFORMANCE.md "
+       "(landed batched with the grouped bwd; no isolated A/B recorded)"),
     _b("PVCNN_TPU_AVGVOX_SORTED", False,
        "Sorted-kernel avg_voxelize under the trainer presort "
        "(perf-parked: measured SLOWER than the flat one-hot scatter at "
@@ -106,7 +107,13 @@ _ALL = (
     _b("PVCNN_TPU_XLA_CONV_WGRAD_ONLY", False,
        "With CUSTOM_CONV_WGRAD, skip the Pallas wgrad kernel and use the "
        "k^3 shifted-slice contraction fallback only. Test/A-B hook.",
-       ""),
+       "test-only hook — no perf default to measure"),
+    _b("PVCNN_TPU_DRYRUN_CHILD", False,
+       "Internal: set by __graft_entry__._dryrun_subprocess in the child "
+       "env so a child whose forced host-device-count still fails raises "
+       "instead of re-spawning (unbounded recursion guard). Never set by "
+       "hand.",
+       "recursion guard — no perf default to measure"),
     _b("PVCNN_TPU_LOADER_FORCE_WORKERS", False,
        "Skip the loader's 1-core worker clamp so pool code paths run on "
        "single-core CI hosts. Test-only.",
@@ -114,11 +121,11 @@ _ALL = (
     _b("PVCNN_TPU_NO_NATIVE", False,
        "Disable the lazily-compiled C++ IO helper (pvcnn_tpu/native); "
        "numpy fallbacks take over.",
-       ""),
+       "compatibility switch — no perf default to measure"),
     _b("PVCNN_TPU_BENCH_EXTRAS", True,
        "bench.py: also time the non-headline accuracy-bearing configs "
        "(adds ~10 min of compiles).",
-       ""),
+       "bench scope switch — no perf default to measure"),
     _b("PVCNN_TPU_PRESORT", True,
        "bench.py / tools: build the trainer with the batch presort "
        "(configs carry it by default; 0 A/Bs the unsorted path).",
@@ -128,7 +135,8 @@ _ALL = (
        "highest = 6-pass bf16 (full f32 semantics), high = 3-pass bf16_3x "
        "(~21 mantissa bits — still strictly tighter than the TF32 10-bit "
        "mantissa modern-GPU torch runs the reference's convs at).",
-       "fp32 recipe A/B in docs/PERFORMANCE.md (round 4)"),
+       "default is the conservative full-f32 semantics; fp32-recipe A/B "
+       "recorded in docs/PERFORMANCE.md fp32 session"),
 )
 
 KNOBS = {k.name: k for k in _ALL}

@@ -49,6 +49,31 @@ def test_defaults_parse():
         knobs.get(name)   # must not raise with a clean env
 
 
+def test_every_knob_cites_its_evidence():
+    """VERDICT r4 weak #2: KNOBS.md rows cited A/Bs that did not exist.
+    Two gates: (1) no knob ships a citation-less default (`measured` must be
+    non-empty — test-only/scope switches say so explicitly), (2) every file
+    path named in a citation exists, and a citation pointing at a doc with
+    specific decimal numbers must find at least one of them in that doc."""
+    for k in knobs.KNOBS.values():
+        assert k.measured.strip(), (
+            f"{k.name} has an empty 'measured' field — cite the A/B or "
+            "state explicitly why there is nothing to measure")
+        cited = re.findall(r"(?:docs|tools|tests|nn|ops)/[\w/]+\.(?:md|py)",
+                           k.measured)
+        for rel in cited:
+            path = ROOT / rel if (ROOT / rel).exists() else (
+                ROOT / "pvcnn_tpu" / rel)
+            assert path.exists(), (
+                f"{k.name} cites {rel} which does not exist")
+            numbers = re.findall(r"\d+\.\d+", k.measured)
+            if numbers and path.suffix == ".md":
+                doc = path.read_text()
+                assert any(n in doc for n in numbers), (
+                    f"{k.name} cites {rel} with numbers {numbers} but none "
+                    "appear in that file — the evidence is missing or stale")
+
+
 @pytest.mark.parametrize("name,bad", [
     ("PVCNN_TPU_SORTED_MIN_BINS", "soon"),
     ("PVCNN_TPU_DEVOX_FWD_PACK", "3"),
