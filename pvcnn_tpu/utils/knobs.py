@@ -130,6 +130,13 @@ _ALL = (
        "bench.py / tools: build the trainer with the batch presort "
        "(configs carry it by default; 0 A/Bs the unsorted path).",
        "presort A/B in docs/PERFORMANCE.md"),
+    _c("PVCNN_TPU_FUSED_ADAM", "auto", ("auto", "0"),
+       "Adam update on one flat vector per parameter dtype instead of "
+       "leaf-by-leaf (~86 sub-ms per-leaf fusions at the headline became a "
+       "handful; f32-bitwise-identical, tests/test_train.py). 0 restores "
+       "the per-leaf optax chain. Trainer(tensor_parallel=True) always "
+       "uses per-leaf (differently-sharded leaves must not concat).",
+       "headline A/B in docs/PERFORMANCE.md round-5 optimizer section"),
     _c("PVCNN_TPU_FP32_CONV_PRECISION", "highest", ("highest", "high"),
        "MXU precision for fp32-input convs in the Pallas flat-rows kernel: "
        "highest = 6-pass bf16 (full f32 semantics), high = 3-pass bf16_3x "
