@@ -88,14 +88,14 @@ def _build(config: str, dtype: str):
                       width_multiplier=0.25, dtype=dtype)
         b, n, in_ch, n_cls = (64 if dtype == "bfloat16" else 32), NUM_POINTS, 22, 50
         presort = {"resolutions": pvconv_resolutions(PVCNN.blocks),
-                   "normalize": False}
+                   "normalize": False, "constant_channels": (6, 22)}
     elif config == "shapenet_pvcnn_1":
         from pvcnn_tpu.models.shapenet import PVCNN
         model = PVCNN(num_classes=50, num_shapes=16, extra_feature_channels=3,
                       width_multiplier=1.0, dtype=dtype)
         b, n, in_ch, n_cls = 32, NUM_POINTS, 22, 50
         presort = {"resolutions": pvconv_resolutions(PVCNN.blocks),
-                   "normalize": False}
+                   "normalize": False, "constant_channels": (6, 22)}
     elif config == "s3dis_pvcnn_1":
         from pvcnn_tpu.models.s3dis import PVCNN
         model = PVCNN(num_classes=13, extra_feature_channels=6,

@@ -15,4 +15,8 @@ configs.train.scheduler.t_max = configs.train.num_epochs
 # normalize=False) devox base bin serves every resolution group (R=16 rides
 # the nested-presort contract) — zero-gather sorted kernels, see
 # trainer.presort_batch / ops/devoxelize.py
-configs.train.presort = {"resolutions": (32, 16), "normalize": False}
+# constant_channels: the tiled one-hot shape id (channels 6..6+num_shapes,
+# data/shapenet.py) is row-constant per cloud, so it skips the payload
+# gather (trainer.presort_batch)
+configs.train.presort = {"resolutions": (32, 16), "normalize": False,
+                         "constant_channels": (6, 22)}

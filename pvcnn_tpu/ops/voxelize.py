@@ -243,12 +243,77 @@ def avg_voxelize_sorted(features: jnp.ndarray, norm_coords: jnp.ndarray,
     ) and sorted_gather_plan(r3, n, cp, offs[-1], features.dtype, b,
                              ta) is not None
     if not plan_ok:
+        # HYBRID: keep the flat round-bin one-hot scatter forward (measured
+        # faster than the sorted fwd kernels, see the AVGVOX_SORTED note
+        # above) but run the BACKWARD's N-row gather through the sorted
+        # corner kernel when a plan fits. XLA's plain row gather on a
+        # narrow-C HBM-resident grid is latency-bound: the R=16 C=16 grad
+        # gather traced 1.21 ms (round-5 profile) — ~30x off bandwidth —
+        # while the same-shape sorted corner gather runs ~0.5 ms.
+        cg = -(-c // 8) * 8
+        # small grids only (r3 <= 4096): there XLA's per-row gather is
+        # latency-bound (R=16 C=16 traced 1.21 ms) and the sorted corner
+        # kernel wins; at R=32 the kernel's 8-corner tile walk over 32K bins
+        # costs ~1.7 ms and LOSES to the plain gather (headline A/B
+        # 28.2 -> 31.5 ms with the hybrid forced everywhere, round 5)
+        sorted_bwd = (
+            _knobs.get("PVCNN_TPU_AVGVOX_BWD_SORTED") != "0"
+            and (interpret or jax.default_backend() == "tpu")
+            and r3 % 128 == 0 and r3 <= 4096
+            and sorted_gather_plan(r3, n, cg, offs[-1], features.dtype, b,
+                                   ta) is not None)
+        if sorted_bwd:
+            means = _avg_voxelize_hybrid(features, norm_coords, r, ta)
+            return means.reshape(b, r, r, r, c)
         norm_t = jnp.swapaxes(norm_coords, 1, 2)
         vt = jnp.round(norm_t).astype(jnp.int32)
         flat = vt[:, 0] * (r * r) + vt[:, 1] * r + vt[:, 2]
         return avg_voxelize(features, None, r, flat_idx=flat)
     means = _avg_voxelize_sorted_flat(features, norm_coords, r, ta)
     return means.reshape(b, r, r, r, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _avg_voxelize_hybrid(features, norm_coords, r, tile_align=1):
+    out, _ = _avh_fwd(features, norm_coords, r, tile_align)
+    return out
+
+
+def _avh_fwd(features, norm_coords, r, tile_align=1):
+    norm_t = jnp.swapaxes(norm_coords, 1, 2)
+    vt = jnp.round(norm_t).astype(jnp.int32)
+    flat = vt[:, 0] * (r * r) + vt[:, 1] * r + vt[:, 2]
+    means, (_, counts) = _avg_voxelize_fwd(features, flat, r * r * r)
+    return means, (norm_coords, counts)
+
+
+def _avh_bwd(r, tile_align, residuals, g):
+    """grad_features[n] = g[round_bin(n)] / count — computed as the 8-corner
+    indicator gather over FLOOR-base bins (sorted rows): identical decomposition
+    to _avs_bwd, indicators recomputed from norm_coords (cheap VPU work,
+    saves carrying [B, 8, N] through the forward)."""
+    from pvcnn_tpu.ops.pallas.sorted_gather import (sorted_devox_gather,
+                                                    sorted_gather_plan)
+    from pvcnn_tpu.ops.pallas.sorted_scatter import bin_starts
+
+    norm_coords, counts = residuals
+    b, r3, c = g.shape
+    cg = -(-c // 8) * 8
+    offs = (0, 1, r, r + 1, r * r, r * r + 1, r * r + r, r * r + r + 1)
+    base, ind8_t = _corner_indicators(jnp.swapaxes(norm_coords, 1, 2), r)
+    scaled = g / jnp.maximum(counts, 1.0)[..., None].astype(g.dtype)
+    if cg != c:
+        scaled = jnp.pad(scaled, ((0, 0), (0, 0), (0, cg - c)))
+    plan = sorted_gather_plan(r3, base.shape[1], cg, offs[-1], g.dtype, b,
+                              tile_align)
+    starts = bin_starts(base, r3, plan[0])
+    out = sorted_devox_gather(scaled, base, ind8_t, starts, r3, offs,
+                              tile_align=tile_align)
+    return out[..., :c].astype(g.dtype), None
+
+
+_avg_voxelize_hybrid.defvjp(
+    lambda f, nc_, r, ta: _avh_fwd(f, nc_, r, ta), _avh_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

@@ -41,7 +41,7 @@ def _split_batch(batch):
 
 def presort_batch(inputs, targets, resolution: int | None = None,
                   normalize: bool = True, eps: float = 0.0,
-                  resolutions=None):
+                  resolutions=None, constant_channels=None):
     """Sort each cloud's points by the FIRST PVConv's devoxelize BASE-corner
     bin, so the devox sorted kernels run with zero permutation gathers
     (ops/devoxelize.py assume_sorted). One packed non-differentiable row
@@ -67,6 +67,14 @@ def presort_batch(inputs, targets, resolution: int | None = None,
     layout (points on lanes; [B, N, 3]-minor elementwise passes idle 97% of
     vector lanes).
 
+    `constant_channels=(lo, hi)` declares inputs[..., lo:hi] row-constant
+    within each cloud (e.g. ShapeNet's tiled one-hot shape id,
+    data/shapenet.py): permuting rows of a row-constant slice is the
+    identity, so those channels skip the payload gather entirely and are
+    reattached as-is (ShapeNet drops the gathered payload 26 -> 10
+    channels). The CALLER asserts the constancy contract — a non-constant
+    slice silently shuffles features across points.
+
     Returns (inputs_s, targets_s, norms) with norms a dict
     {resolution: [B, N, 3] sorted norm coords} for the model's `presorted=`
     kwarg. The legacy `resolution=R` form is `resolutions=(R,)`.
@@ -91,12 +99,21 @@ def presort_batch(inputs, targets, resolution: int | None = None,
     _, perm = jax.lax.sort_key_val(
         base, jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n)),
         dimension=1)
+    var = inputs
+    if constant_channels is not None:
+        clo, chi = constant_channels
+        var = jnp.concatenate([inputs[..., :clo], inputs[..., chi:]],
+                              axis=-1)
     payload = jnp.concatenate(
-        [inputs, norm0, targets[..., None].astype(inputs.dtype)], axis=-1)
+        [var, norm0, targets[..., None].astype(inputs.dtype)], axis=-1)
     pay = jax.lax.stop_gradient(
         jnp.take_along_axis(payload, perm[..., None], axis=1))
-    c = inputs.shape[-1]
+    c = var.shape[-1]
     inputs_s = pay[..., :c]
+    if constant_channels is not None:
+        inputs_s = jnp.concatenate(
+            [inputs_s[..., :clo], inputs[..., clo:chi], inputs_s[..., clo:]],
+            axis=-1)
     norm0_s = pay[..., c:c + 3]
     norms_s = {r: (norm0_s if r == r0 else
                    jnp.minimum(norm0_s * (r / r0), float(r - 1)))

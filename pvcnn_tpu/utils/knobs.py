@@ -72,6 +72,11 @@ _ALL = (
        "(perf-parked: measured SLOWER than the flat one-hot scatter at "
        "every tried shape; exactness locked by tests).",
        "headline A/B 32.6 vs 32.2 ms (docs/PERFORMANCE.md presort section)"),
+    _c("PVCNN_TPU_AVGVOX_BWD_SORTED", "auto", ("auto", "0"),
+       "Hybrid avg_voxelize under the presort: flat one-hot scatter forward "
+       "+ SORTED corner-gather backward (XLA's plain narrow-C grad row "
+       "gather is latency-bound). 0 restores take_rows for the backward.",
+       "headline A/B in docs/PERFORMANCE.md round-5 avgvox-bwd section"),
     _c("PVCNN_TPU_DEVOX_FWD_SORTED", "auto", ("auto", "0", "1"),
        "Sorted corner-packed devoxelize forward gather: auto keys on "
        "DEVOX_FWD_MIN_BINS; 1 forces wherever a plan fits; 0 disables.",

@@ -178,6 +178,53 @@ class TestTrilinearDevoxelize:
             gb = np.asarray(jax.grad(f_plain)(jnp.asarray(feats)))
         np.testing.assert_allclose(ga, gb, rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.parametrize("c,ratio", [(6, 1), (16, 1), (16, 2)])
+    def test_avg_voxelize_hybrid_bwd_matches_plain(self, rng, c, ratio):
+        """The DEFAULT presorted path (AVGVOX_SORTED unset): flat round-bin
+        scatter forward + sorted corner-gather backward
+        (ops/voxelize.py::_avg_voxelize_hybrid). Forward and d/dfeatures must
+        equal plain avg_voxelize on round bins exactly, including round-half-
+        to-even coords, boundary coords, and the nested sort_ratio contract."""
+        from pvcnn_tpu.ops.voxelize import avg_voxelize_sorted
+
+        b, n, r = 2, 512, 16
+        feats = rng.randn(b, n, c).astype(np.float32)
+        if ratio == 1:
+            nc = rng.uniform(0, r - 1, size=(b, n, 3)).astype(np.float32)
+            nc[0, 0] = [r - 1, r - 1, r - 1]
+            nc[0, 1] = [0, 0, 0]
+            nc[0, 2] = [1.5, 2.5, 3.0]       # exact halves: round-to-even
+            key = np.asarray(ops.corner_base_bins(jnp.asarray(nc), r))
+        else:
+            nc, fine = TestNestedPresort._nested_coords(rng, b, n, r, ratio)
+            key = np.asarray(ops.corner_base_bins(jnp.asarray(fine),
+                                                  ratio * r))
+        order = np.argsort(key, axis=1, kind="stable")
+        nc = np.take_along_axis(nc, order[..., None], axis=1)
+        feats = np.take_along_axis(feats, order[..., None], axis=1)
+        vox = np.round(nc).astype(np.int32)
+
+        with jax.default_matmul_precision("float32"):
+            got = np.asarray(avg_voxelize_sorted(
+                jnp.asarray(feats), jnp.asarray(nc), r, sort_ratio=ratio))
+            want = np.asarray(ops.avg_voxelize(
+                jnp.asarray(feats), jnp.asarray(vox), r))
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+            w = rng.randn(b, r, r, r, c).astype(np.float32)
+
+            def f_sorted(x):
+                return jnp.sum(avg_voxelize_sorted(
+                    x, jnp.asarray(nc), r, sort_ratio=ratio) * jnp.asarray(w))
+
+            def f_plain(x):
+                return jnp.sum(ops.avg_voxelize(x, jnp.asarray(vox), r)
+                               * jnp.asarray(w))
+
+            ga = np.asarray(jax.grad(f_sorted)(jnp.asarray(feats)))
+            gb = np.asarray(jax.grad(f_plain)(jnp.asarray(feats)))
+        np.testing.assert_allclose(ga, gb, rtol=1e-4, atol=1e-5)
+
     def test_assume_sorted_matches_oracle(self, rng):
         """assume_sorted=True on rows presorted by corner_base_bins: the
         zero-gather fwd/bwd kernel paths (fwd needs the sorted-gather plan:

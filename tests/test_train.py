@@ -453,6 +453,32 @@ def test_batch_is_actually_sharded():
     assert shard_shapes == {(1, 4)}
 
 
+def test_presort_constant_channels_exact():
+    """presort_batch(constant_channels=(lo, hi)) must return bit-identical
+    outputs to the full payload gather when inputs[..., lo:hi] is row-constant
+    per cloud (the ShapeNet one-hot shape id contract, data/shapenet.py)."""
+    from pvcnn_tpu.train.trainer import presort_batch
+
+    rng = np.random.RandomState(3)
+    b, n = 4, 256
+    feats = rng.randn(b, n, 6).astype(np.float32)
+    onehot = np.zeros((b, n, 16), np.float32)
+    for i in range(b):
+        onehot[i, :, rng.randint(16)] = 1.0
+    inputs = np.concatenate([feats, onehot], axis=-1)
+    targets = rng.randint(0, 50, size=(b, n))
+    a_in, a_tg, a_nm = presort_batch(inputs, targets, resolutions=(32, 16),
+                                     normalize=False)
+    c_in, c_tg, c_nm = presort_batch(inputs, targets, resolutions=(32, 16),
+                                     normalize=False,
+                                     constant_channels=(6, 22))
+    np.testing.assert_array_equal(np.asarray(a_in), np.asarray(c_in))
+    np.testing.assert_array_equal(np.asarray(a_tg), np.asarray(c_tg))
+    for r in a_nm:
+        np.testing.assert_array_equal(np.asarray(a_nm[r]),
+                                      np.asarray(c_nm[r]))
+
+
 def test_fused_adam_matches_per_leaf_exactly():
     """Fused (flat-vector) Adam must be numerically IDENTICAL to the per-leaf
     optax chain on a realistic pytree: mixed dtypes (f32 + bf16 group), many

@@ -31,7 +31,8 @@ def main():
     tx, _ = Adam(1e-3)
     from pvcnn_tpu.utils import knobs
 
-    presort = ({"resolutions": (32, 16), "normalize": False}
+    presort = ({"resolutions": (32, 16), "normalize": False,
+                "constant_channels": (6, 22)}
                if knobs.get("PVCNN_TPU_PRESORT") else None)
     trainer = Trainer(model, CrossEntropyLoss(), tx, presort=presort)
     rng = np.random.RandomState(0)

@@ -70,9 +70,11 @@ def main():
     if knobs.get("PVCNN_TPU_PRESORT"):
         presort = {
             "shapenet_pvcnn_0p25": {"resolutions": (32, 16),
-                                    "normalize": False},
+                                    "normalize": False,
+                                    "constant_channels": (6, 22)},
             "shapenet_pvcnn_1": {"resolutions": (32, 16),
-                                 "normalize": False},
+                                 "normalize": False,
+                                 "constant_channels": (6, 22)},
         }.get(MODEL)
     trainer = Trainer(model, CrossEntropyLoss(), tx, presort=presort)
     rng = np.random.RandomState(0)
