@@ -24,9 +24,11 @@ implemented are still trilinear_devoxelize_grad_kernel's scatter
 (reference: modules/functional/src/interpolate/trilinear_devox.cu:119-162).
 
 Layout note: the per-block one-hot compare needs bin ids on SUBLANES
-([bs, 1] against a [bs, TILE] iota), so the kernel takes idx as [rows, 1] —
-whose lane dim pads to 128 in VMEM. The plan therefore caps rows (the caller
-halves N and sums partial scatters, as for the unsorted kernel).
+([bs, 1] against a [bs, TILE] iota), but the kernel takes idx as [1, rows]
+with rows on LANES — the layout every producer already emits (sorting and
+the base+offset arithmetic run points-on-lanes) — and restores the [bs, 1]
+orientation in-register per block. The old rows-on-sublanes operand forced
+a 0.14-0.18 ms HBM relayout copy per call site and padded idx VMEM 16x.
 """
 
 from __future__ import annotations
@@ -99,10 +101,16 @@ def sorted_scatter_plan(num_bins: int, rows: int, kc: int, c: int,
 def _sorted_kernel(mm_dtype, precision, tile_v, n_warm, n_slots, offsets, c,
                    chunk_tiles, bs, starts_ref, idx_ref, values_ref,
                    out_ref, ring):
-    # starts_ref [B, n_tiles+1] SMEM (scalar prefetch); idx_ref [1, rows, 1]
-    # int32 SORTED; values_ref [1, kc, rows] mm_dtype (row-sorted to match);
+    # starts_ref [B, n_tiles+1] SMEM (scalar prefetch); idx_ref [1, 1, rows]
+    # int32 SORTED, rows on LANES — the layout every producer (sort_key_val,
+    # base+off arithmetic in [B, 3, N]) already emits; the old [1, rows, 1]
+    # rows-on-sublanes form forced a 0.14-0.18 ms HBM relayout copy per call
+    # (3 distinct copies, 0.45 ms/step at the round-5 headline) AND padded
+    # idx VMEM 16x (1 of 128 lanes used). The [bs, 1] orientation the
+    # one-hot compare needs is restored in-register per block;
+    # values_ref [1, kc, rows] mm_dtype (row-sorted to match);
     # out_ref [1, c, chunk_tiles*tile_v] f32; ring [kc, n_slots*tile_v] f32
-    rows = idx_ref.shape[1]
+    rows = idx_ref.shape[2]
     kc = values_ref.shape[1]
     bidx = pl.program_id(0)
     j = pl.program_id(1)
@@ -135,7 +143,8 @@ def _sorted_kernel(mm_dtype, precision, tile_v, n_warm, n_slots, offsets, c,
                 vals = values_ref[0, :, pl.ds(off, bs)]          # [kc, bs]
                 # one-hot within this tile; rows of neighboring tiles in the
                 # over-read block fall outside [0, tile_v) and vanish
-                rel = idx_ref[0, pl.ds(off, bs), :] - g * tile_v
+                rel = (idx_ref[0, :, pl.ds(off, bs)].reshape(bs, 1)
+                       - g * tile_v)
                 mask = (cols == rel).astype(mm_dtype)            # [bs, tile_v]
                 return acc + jax.lax.dot(
                     vals, mask, precision=precision,
@@ -218,7 +227,7 @@ def _sorted_scatter(values_s, idx_s, starts, num_bins, offsets, c, mm_dtype,
         num_scalar_prefetch=1,
         grid=(b, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, rows, 1), lambda i, j, s_ref: (i, 0, 0),
+            pl.BlockSpec((1, 1, rows), lambda i, j, s_ref: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kc, rows), lambda i, j, s_ref: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -234,7 +243,7 @@ def _sorted_scatter(values_s, idx_s, starts, num_bins, offsets, c, mm_dtype,
         out_shape=jax.ShapeDtypeStruct((b, c, num_bins), jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(starts, idx_s[:, :, None],
+    )(starts, idx_s[:, None, :],
       (values_s if values_transposed
        else jnp.transpose(values_s, (0, 2, 1))).astype(mm_dtype))
     return jnp.transpose(out, (0, 2, 1))                     # [B, bins, C]
