@@ -180,22 +180,89 @@ class BatchNorm(nn.Module):
         return scale_eff, shift_eff
 
 
+class DenseStats(nn.Module):
+    """nn.Dense twin (same param tree: kernel [Ci, Co] + bias) that runs the
+    fused Pallas matmul + BN-stats epilogue (ops/pallas/dense_rows.py): the
+    per-channel sum/sumsq its BatchNorm needs accumulate in the kernel, so
+    the BN batch-stat reduce never re-reads the layer output from HBM."""
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, want_stats: bool = True):
+        from pvcnn_tpu.ops.pallas.dense_rows import dense_rows_act
+
+        ci = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (ci, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        dt = self.dtype or x.dtype
+        zeros = jnp.zeros((ci,), jnp.float32)
+        return dense_rows_act(x.astype(dt), kernel, bias, zeros, zeros,
+                              0.0, False, want_stats)
+
+
 class SharedMLP(nn.Module):
     """x may be a single [..., C] array or a LIST of them: a list means
     "the channel concat of these", routed through SplitDense so the concat
-    is never materialized (explicit names keep the param tree identical)."""
+    is never materialized (explicit names keep the param tree identical).
+
+    PVCNN_TPU_DENSE_BN_FUSED=auto opts train-mode layers into the fused
+    Pallas Dense + BN-stats path (DenseStats) — batch stats come from the
+    matmul's f32 accumulator epilogue instead of a separate full read of
+    the layer output. PERF-PARKED, default off: the XLA-level affine+ReLU
+    that follows materializes f32 copies of the wide layers (the bf16->f32
+    convert gains multiple consumers and stops fusing), which traced
+    +4.6 ms against the ~0.2 ms the epilogue saves (round-5,
+    docs/PERFORMANCE.md). Exactness stays locked by
+    tests/test_ops.py::TestDenseRowsFused; a future in-kernel two-pass
+    stats+apply could cash the saving. Eval always uses the plain path
+    (checkpoint-parity tests pin those numerics)."""
 
     out_channels: Sequence[int]
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        import jax
+
+        from pvcnn_tpu.utils import knobs
+
         for i, oc in enumerate(self.out_channels):
+            oc = int(oc)
+            fused = False
+            if train and not isinstance(x, (list, tuple)):
+                from pvcnn_tpu.ops.pallas.dense_rows import dense_rows_plan
+
+                dt = self.dtype or x.dtype
+                rows = 1
+                for d in x.shape[:-1]:
+                    rows *= d
+                on_tpu = (jax.default_backend() == "tpu"
+                          or knobs.get("PVCNN_TPU_PALLAS_INTERPRET"))
+                fused = (knobs.get("PVCNN_TPU_DENSE_BN_FUSED") != "0"
+                         and on_tpu
+                         and dense_rows_plan(rows, x.shape[-1], oc,
+                                             dt) is not None)
+            if fused:
+                y, s1, s2 = DenseStats(oc, dtype=self.dtype,
+                                       name=f"Dense_{i}")(x, want_stats=True)
+                sc, sh = BatchNorm(dtype=self.dtype,
+                                   name=f"BatchNorm_{i}")(
+                    train=True, affine=True, sums=(s1, s2), count=rows,
+                    features=oc)
+                bshape = (1,) * (y.ndim - 1) + (oc,)
+                t = (y.astype(jnp.float32) * sc.reshape(bshape)
+                     + sh.reshape(bshape))
+                x = jnp.maximum(t, 0.0).astype(dt)
+                continue
             if i == 0 and isinstance(x, (list, tuple)):
-                x = SplitDense(int(oc), dtype=self.dtype,
+                x = SplitDense(oc, dtype=self.dtype,
                                name=f"Dense_{i}")(x)
             else:
-                x = nn.Dense(int(oc), dtype=self.dtype,
+                x = nn.Dense(oc, dtype=self.dtype,
                              name=f"Dense_{i}")(x)
             x = BatchNorm(dtype=self.dtype, name=f"BatchNorm_{i}")(
                 x, train=train)

@@ -72,6 +72,15 @@ _ALL = (
        "(perf-parked: measured SLOWER than the flat one-hot scatter at "
        "every tried shape; exactness locked by tests).",
        "headline A/B 32.6 vs 32.2 ms (docs/PERFORMANCE.md presort section)"),
+    _c("PVCNN_TPU_DENSE_BN_FUSED", "0", ("auto", "0"),
+       "Train-mode SharedMLP layers run the fused Pallas Dense + BN-stats "
+       "epilogue (ops/pallas/dense_rows.py) where a plan fits. "
+       "PERF-PARKED (default 0): the downstream XLA affine+ReLU then "
+       "materializes f32 copies of the wide layers (multi-consumer convert "
+       "defeats fusion) and the step REGRESSED 26.7 -> 31.3 ms traced; the "
+       "kernel is exactness-locked and kept for a future in-kernel 2-pass "
+       "apply.",
+       "round-5 trace A/B in docs/PERFORMANCE.md dense-BN section"),
     _c("PVCNN_TPU_AVGVOX_BWD_SORTED", "auto", ("auto", "0"),
        "Hybrid avg_voxelize under the presort: flat one-hot scatter forward "
        "+ SORTED corner-gather backward (XLA's plain narrow-C grad row "

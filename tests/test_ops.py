@@ -484,6 +484,103 @@ class TestConvRowsFused:
                                    rtol=1e-4, atol=1e-4)
 
 
+class TestDenseRowsFused:
+    """ops/pallas/dense_rows.py + nn/shared_mlp.py DenseStats — the fused
+    point-branch Dense + BN-stats epilogue (reference
+    modules/shared_mlp.py:6-33)."""
+
+    def test_sharedmlp_fused_matches_plain(self, rng, monkeypatch):
+        """Module-level lock: the fused train path (DenseStats + BN affine
+        fold + ReLU) computes the same loss, gradients, BATCH STATS, and
+        eval output as the plain Dense -> BatchNorm -> relu stack, with an
+        identical param tree. Shapes chosen so the plan FITS (rows >= 1024,
+        rows % 256 == 0)."""
+        from jax.flatten_util import ravel_pytree
+
+        from pvcnn_tpu.nn.shared_mlp import SharedMLP
+
+        b, n, ci = 2, 1024, 24
+        x = jnp.asarray(rng.randn(b, n, ci).astype(np.float32))
+        model = SharedMLP([40, 24])
+
+        with jax.default_matmul_precision("float32"):
+            variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+            results = {}
+            for knob in ("auto", "0"):
+                monkeypatch.setenv("PVCNN_TPU_DENSE_BN_FUSED", knob)
+
+                def loss(p, bs):
+                    out, mut = model.apply(
+                        {"params": p, "batch_stats": bs}, x, train=True,
+                        mutable=["batch_stats"])
+                    return jnp.sum(out * out), mut["batch_stats"]
+
+                (val, new_bs), grads = jax.value_and_grad(
+                    loss, has_aux=True)(variables["params"],
+                                        variables["batch_stats"])
+                out_eval = model.apply(variables, x, train=False)
+                results[knob] = (val, grads, new_bs, out_eval)
+
+        va, ga, bsa, ea = results["auto"]
+        vb, gb, bsb, eb = results["0"]
+        assert jax.tree.structure(ga) == jax.tree.structure(gb)
+        np.testing.assert_allclose(float(va), float(vb), rtol=1e-5)
+        a, b_ = np.asarray(ravel_pytree(ga)[0]), np.asarray(ravel_pytree(gb)[0])
+        assert np.abs(a - b_).max() < 2e-5 * np.abs(b_).max() + 5e-4
+        np.testing.assert_allclose(np.asarray(ravel_pytree(bsa)[0]),
+                                   np.asarray(ravel_pytree(bsb)[0]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ea), np.asarray(eb))
+
+    def test_dense_rows_act_matches_oracle(self, rng):
+        """Kernel-level: fwd/bwd (incl. prologue + stats cotangents) against
+        a plain-jax oracle through jax.grad, 4-D rows."""
+        from pvcnn_tpu.ops.pallas.dense_rows import (dense_rows_act,
+                                                     dense_rows_plan)
+
+        b, m, u, ci, co = 2, 64, 16, 24, 40
+        x = jnp.asarray(rng.randn(b, m, u, ci).astype(np.float32))
+        w = jnp.asarray((rng.randn(ci, co) * 0.1).astype(np.float32))
+        bias = jnp.asarray(rng.randn(co).astype(np.float32))
+        sc = jnp.asarray((rng.rand(ci) + 0.5).astype(np.float32))
+        sh = jnp.asarray((rng.randn(ci) * 0.1).astype(np.float32))
+        assert dense_rows_plan(b * m * u, ci, co, jnp.float32) is not None
+
+        def oracle(x, w, bias, sc, sh):
+            t = x * sc + sh
+            a = jnp.where(t > 0, t, 0.0)
+            y = a @ w + bias
+            return y, jnp.sum(y, axis=(0, 1, 2)), jnp.sum(y * y,
+                                                          axis=(0, 1, 2))
+
+        def mk_loss(f):
+            def loss(x, w, bias, sc, sh):
+                y, s1, s2 = f(x, w, bias, sc, sh)
+                return (jnp.sum(jnp.sin(y)) + jnp.sum(s1 * 0.3)
+                        + jnp.sum(s2 * 0.01))
+            return loss
+
+        with jax.default_matmul_precision("float32"):
+            y1, s1a, s2a = dense_rows_act(x, w, bias, sc, sh, 0.0, True,
+                                          True)
+            y0, s1b, s2b = oracle(x, w, bias, sc, sh)
+            np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(s1a), np.asarray(s1b),
+                                       rtol=1e-4, atol=1e-3)
+            np.testing.assert_allclose(np.asarray(s2a), np.asarray(s2b),
+                                       rtol=1e-4, atol=1e-3)
+            ga = jax.grad(mk_loss(lambda *a: dense_rows_act(
+                *a, 0.0, True, True)), argnums=(0, 1, 2, 3, 4))(
+                x, w, bias, sc, sh)
+            gb = jax.grad(mk_loss(oracle), argnums=(0, 1, 2, 3, 4))(
+                x, w, bias, sc, sh)
+        for i, (a, o) in enumerate(zip(ga, gb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(o),
+                                       rtol=2e-4, atol=2e-3,
+                                       err_msg=f"grad arg {i}")
+
+
 class TestPallasCostRecorder:
     """ops/pallas/cost.py: kernel wrappers report analytic FLOPs/bytes at
     trace time (bench.py sums them with XLA's cost analysis, which counts
