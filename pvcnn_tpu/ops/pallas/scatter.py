@@ -72,13 +72,27 @@ def pallas_scatter_supported(num_bins: int, n: int, c: int,
     return jax.default_backend() == "tpu"
 
 
-def _unroll(bins: int, tile_v: int) -> int:
+def _unroll(bins: int, tile_v: int, c: int = 8, n: int = 0,
+            mm_dtype=None) -> int:
     """Tiles handled per loop iteration. The fori_loop's scalar-core overhead
     (~hundreds of cycles/iteration) dominates the per-tile vector work at
     C<=32 — 64 batch items x 256 tiles cost ~10 ms of pure loop overhead at
-    the ShapeNet headline config before unrolling."""
+    the ShapeNet headline config before unrolling.
+
+    Stack-bounded: each unrolled tile keeps a live [C, N] masked copy on the
+    Mosaic stack (16 MB scoped-VMEM limit); f32-HIGHEST inflates it ~3.5x
+    with the bf16-split temporaries (measured 25.66 M at u=8, C=112,
+    N=2048, the eval-mode e=16 sub-slot scatter — a compile-time VMEM OOM
+    the round-5 eval bench surfaced)."""
+    if mm_dtype == jnp.float32:
+        # f32-HIGHEST keeps ~3 bf16-split temporaries of every [C, N] masked
+        # copy live per unrolled tile plus a large non-linear base (measured
+        # 25.66 M at u=8/C=112 and 16.70 M at u=2/C=68, both over the limit);
+        # the f32 context is eval-only, where loop overhead matters far less
+        # than compile success
+        return 1
     for u in (8, 4, 2, 1):
-        if bins % (tile_v * u) == 0:
+        if bins % (tile_v * u) == 0 and u * c * max(n, 1) * 4 <= 12 * 1024 * 1024:
             return u
     return 1
 
@@ -97,7 +111,7 @@ def _scatter_kernel(mm_dtype, precision, tile_v, idx_ref, values_ref, out_ref,
     lo = jax.lax.rem(idx, tile_v).reshape(n, 1)
     lo_mask[:, :] = (cols == lo).astype(mm_dtype)
     hi = jax.lax.div(idx, tile_v)                             # [1, N]
-    u = _unroll(bins, tile_v)
+    u = _unroll(bins, tile_v, c, n, mm_dtype)
 
     def body(t, _):
         for k in range(u):

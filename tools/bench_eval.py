@@ -77,21 +77,52 @@ def main():
     from pvcnn_tpu.train.optim import Adam
     from pvcnn_tpu.train.trainer import Trainer
 
+    import jax.numpy as jnp
+
+    from pvcnn_tpu.parallel import mesh as pmesh
+
     for build in (_shapenet, _pvcnn2):
         name, model, batches, meters, pts = build()
         tx, _ = Adam(1e-3)
         trainer = Trainer(model, CrossEntropyLoss(), tx)
         state = trainer.init_state(batches[0][0][:1])
-        # warm both the jit cache and the meters' first-call paths
+
+        # DEVICE eval-step chain (scalar fence): the portable number — e2e
+        # evaluate() on the tunneled dev chip is dominated by the ~MB-scale
+        # logits fetch through the proxy (docs/PERFORMANCE.md eval section)
+        xs = pmesh.shard_batch(batches[0][0], trainer.mesh)
+        key = jax.random.PRNGKey(0)
+
+        @jax.jit
+        def step_sum(state, xs, key):
+            return jnp.sum(trainer._eval_step_impl(state, xs, key).astype(
+                jnp.float32))
+
+        def fence(v):
+            return float(np.asarray(v))
+
+        sval = step_sum(state, xs, key)
+        fence(sval)
+        t0 = time.perf_counter()
+        fence(sval)
+        latency = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(20):
+            sval = step_sum(state, xs, key)
+        fence(sval)
+        dev = max(time.perf_counter() - t0 - latency, 1e-9) / 20
+
+        # end-to-end evaluate() with REAL meters (includes the host fetch)
         trainer.evaluate(state, _Batches(batches[:2]), meters)
         t0 = time.perf_counter()
         trainer.evaluate(state, _Batches(batches), meters)
-        dt = time.perf_counter() - t0
-        per_batch = dt / len(batches)
+        per_batch = (time.perf_counter() - t0) / len(batches)
         print(json.dumps({
             "config": name,
-            "eval_ms_per_batch": round(per_batch * 1e3, 2),
-            "eval_points_per_sec": round(pts / per_batch, 1),
+            "eval_device_ms_per_batch": round(dev * 1e3, 2),
+            "eval_device_points_per_sec": round(pts / dev, 1),
+            "eval_e2e_ms_per_batch": round(per_batch * 1e3, 2),
+            "eval_e2e_points_per_sec": round(pts / per_batch, 1),
             "batches": len(batches),
         }), flush=True)
 
