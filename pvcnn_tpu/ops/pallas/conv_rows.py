@@ -33,12 +33,11 @@ stacked on M (one per kx tap, M = k*Co, K = k^2*Ci) over a widened column
 span, then combine with k vreg-ALIGNED lane shifts (kx*R^2 is a 128-multiple)
 — 3x the M-utilization for (1 + (k-1)*R^2/chunk)x redundant columns.
 
-Numerics: f32 accumulation; fp32 inputs default to HIGHEST MXU precision
-(6-pass bf16, full f32 semantics) with PVCNN_TPU_FP32_CONV_PRECISION=high
-selecting 3-pass bf16_3x (~21 mantissa bits, still tighter than the TF32
-mode torch runs the reference's convs at) — see _precision and docs/KNOBS.md.
-allclose vs the XLA conv oracle, not bitwise (tile order differs). Zero
-out-of-grid semantics match torch Conv3d(padding=k//2).
+Numerics: f32 accumulation; fp32 inputs always run HIGHEST MXU precision
+(6-pass bf16, full f32 semantics) — a bf16_3x escape hatch was removed in
+round 5 after its A/B revealed Mosaic rejects Precision.HIGH (see
+_precision). allclose vs the XLA conv oracle, not bitwise (tile order
+differs). Zero out-of-grid semantics match torch Conv3d(padding=k//2).
 """
 
 from __future__ import annotations
@@ -71,13 +70,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _precision(dtype):
-    if dtype != jnp.float32:
-        return jax.lax.Precision.DEFAULT
-    from pvcnn_tpu.utils import knobs
-
-    return (jax.lax.Precision.HIGH
-            if knobs.get("PVCNN_TPU_FP32_CONV_PRECISION") == "high"
-            else jax.lax.Precision.HIGHEST)
+    """f32 inputs run HIGHEST (full-f32 MXU semantics). A round-4 knob
+    offered Precision.HIGH (bf16_3x) as an fp32-recipe escape hatch, but
+    Mosaic's dot lowering rejects HIGH outright (NotImplementedError) — the
+    round-5 A/B session discovered the option had never compiled, and it was
+    removed rather than papered over (docs/PERFORMANCE.md fp32 section)."""
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
 
 
 def conv_rows_plan(b, r, ci, co, k, dtype):

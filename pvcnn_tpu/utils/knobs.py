@@ -151,13 +151,14 @@ _ALL = (
        "the per-leaf optax chain. Trainer(tensor_parallel=True) always "
        "uses per-leaf (differently-sharded leaves must not concat).",
        "headline A/B in docs/PERFORMANCE.md round-5 optimizer section"),
-    _c("PVCNN_TPU_FP32_CONV_PRECISION", "highest", ("highest", "high"),
-       "MXU precision for fp32-input convs in the Pallas flat-rows kernel: "
-       "highest = 6-pass bf16 (full f32 semantics), high = 3-pass bf16_3x "
-       "(~21 mantissa bits — still strictly tighter than the TF32 10-bit "
-       "mantissa modern-GPU torch runs the reference's convs at).",
-       "default is the conservative full-f32 semantics; fp32-recipe A/B "
-       "recorded in docs/PERFORMANCE.md fp32 session"),
+    _c("PVCNN_TPU_FP32_CONV_PRECISION", "highest", ("highest",),
+       "MXU precision for fp32-input convs in the Pallas flat-rows kernel. "
+       "Only 'highest' (6-pass bf16, full f32 semantics) exists: the "
+       "round-4 'high' (bf16_3x) option NEVER COMPILED — Mosaic's dot "
+       "lowering rejects Precision.HIGH — which the round-5 fp32 A/B "
+       "session discovered; removed rather than papered over.",
+       "round-5 fp32 session in docs/PERFORMANCE.md (the 'high' A/B died "
+       "with NotImplementedError at trace time)"),
 )
 
 KNOBS = {k.name: k for k in _ALL}
