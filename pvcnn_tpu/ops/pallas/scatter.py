@@ -165,6 +165,100 @@ def _onehot_scatter_add(values, idx, num_bins, mm_dtype):
     return jnp.transpose(out, (0, 2, 1))                      # [B, bins, C]
 
 
+def _scatter_slots_kernel(mm_dtype, precision, tile_v, e, cs,
+                          idx_ref, values_ref, out_ref, lo_mask):
+    """_scatter_kernel over COARSE bins with slot-major sub-slot emit.
+
+    values_ref [1, e*cs, N] carries e slot-masked copies (slot s = fine_bin
+    // V, the HIGH bits); idx_ref holds the coarse id fine_bin % V. The dot
+    produces [e*cs, tile_v] and slot s's rows write to out columns
+    [s*V + tk*tile_v, +tile_v) — fine bin f = s*V + (f % V) lands at column
+    f EXACTLY, so out_ref [1, cs, e*V] IS the flat fine-bin grid in the
+    conv-native channels-on-sublanes layout. The old fine-contiguous
+    grouping (slot = f % e) needed a [V, e*c] -> [bins, c] reshape that XLA
+    materialized as ~0.5 ms/step of relayout copies (round-5 trace)."""
+    n = idx_ref.shape[2]
+    kc = values_ref.shape[1]
+    v_bins = out_ref.shape[2] // e
+    idx = idx_ref[...].reshape(1, n)
+    values = values_ref[...].reshape(kc, n)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, tile_v), 1)
+    lo = jax.lax.rem(idx, tile_v).reshape(n, 1)
+    lo_mask[:, :] = (cols == lo).astype(mm_dtype)
+    hi = jax.lax.div(idx, tile_v)                             # [1, N]
+    u = _unroll(v_bins, tile_v, kc, n, mm_dtype)
+
+    def body(t, _):
+        for k in range(u):
+            tk = t * u + k
+            sel = (hi == tk).astype(values.dtype)             # [1, N]
+            masked = (values * sel).astype(mm_dtype)          # [kc, N]
+            tile = jax.lax.dot(masked, lo_mask[:, :],
+                               precision=precision,
+                               preferred_element_type=jnp.float32)
+            for s in range(e):
+                out_ref[0, :, pl.ds(s * v_bins + tk * tile_v, tile_v)] = (
+                    tile[s * cs:(s + 1) * cs, :].astype(out_ref.dtype))
+        return 0
+
+    jax.lax.fori_loop(0, v_bins // (tile_v * u), body, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _onehot_scatter_slots(values, coarse_idx, v_bins, e, cs, mm_dtype):
+    """values [B, N, e*cs] slot-masked, coarse_idx [B, N] in [0, v_bins) ->
+    [B, cs, e*v_bins] f32 — the flat fine-bin grid, channels on sublanes."""
+    b, n, kc = values.shape
+    precision = (jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    values_t = jnp.transpose(values, (0, 2, 1))               # [B, e*cs, N]
+    tile_v = _tile_v(v_bins, n, 4 if mm_dtype == jnp.float32 else 2)
+    return pl.pallas_call(
+        functools.partial(_scatter_slots_kernel, mm_dtype, precision,
+                          tile_v, e, cs),
+        out_shape=jax.ShapeDtypeStruct((b, cs, e * v_bins), jnp.float32),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kc, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cs, e * v_bins), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n, tile_v), mm_dtype)],
+        interpret=_interpret(),
+    )(coarse_idx.astype(jnp.int32)[:, None, :], values_t)
+
+
+def onehot_scatter_slots(values: jnp.ndarray, idx: jnp.ndarray,
+                         num_bins: int, e: int, mm_dtype=None):
+    """Sub-slot-expanded scatter-sum with slot-major grouping: values
+    [B, N, C] scattered over fine bins idx -> [B, C8, num_bins] f32
+    channels-on-sublanes (C8 = C padded to sublane multiple; caller trims).
+    e slot-masked copies fill the MXU's sublane rows like the fine-contig
+    expansion, but the kernel emits the final fine-bin layout directly."""
+    from pvcnn_tpu.ops.pallas import cost
+
+    b, n, c = values.shape
+    cs = -(-c // 8) * 8
+    v_bins = num_bins // e
+    assert v_bins % TILE_V == 0 and num_bins % e == 0
+    sub = (idx // v_bins)[..., None]
+    oh = (sub == jnp.arange(e, dtype=idx.dtype)).astype(values.dtype)
+    ve = (oh[..., :, None] * values[..., None, :])            # [B, N, e, c]
+    if cs != c:
+        ve = jnp.pad(ve, ((0, 0), (0, 0), (0, 0), (0, cs - c)))
+    ve = ve.reshape(b, n, e * cs)
+    cost.record("onehot_scatter",
+                flops=2.0 * b * e * cs * n * v_bins,
+                bytes_accessed=b * (n * 4 + n * e * cs * values.dtype.itemsize
+                                    + num_bins * cs * 4))
+    return _onehot_scatter_slots(ve, idx % v_bins, v_bins, e, cs,
+                                 mm_dtype or _mm_dtype())
+
+
 def onehot_scatter_add(values: jnp.ndarray, idx: jnp.ndarray, num_bins: int,
                        mm_dtype=None):
     """values [B, N, C] float, idx [B, N] int32 in [0, num_bins) ->

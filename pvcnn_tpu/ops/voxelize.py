@@ -84,26 +84,25 @@ def _scatter_sum(values: jnp.ndarray, idx: jnp.ndarray, num_bins: int):
     if pallas_scatter_supported(num_bins, n, c, mm_dtype):
         # sub-slot expansion: the one-hot kernel's dot is [C, N] @ [N, tile]
         # — at the avgvox widths (C+1 = 7-10) it idles 15/16 of the MXU's
-        # sublane rows. Scattering e-expanded values x (x) 1[idx mod e == s]
-        # into bins/e COARSE bins (idx >> log2 e) multiplies M by e for the
-        # SAME total matmul FLOPs (kc * coarse_bins invariant), and a plain
-        # row-major reshape restores the flat grid: out_e[b, vc, s*C + c'] is
-        # exactly out[b, vc*e + s, c']. Exact — the indicator is 0/1 and the
-        # kernel accumulates f32 either way.
-        from pvcnn_tpu.ops.pallas.scatter import TILE_V
+        # sublane rows. Scattering e slot-masked copies (slot = idx // V,
+        # the HIGH bits, V = bins/e) over V coarse bins multiplies M by e
+        # for the SAME total matmul FLOPs; slot s's dot rows ARE the fine
+        # bins [s*V, (s+1)*V), so the kernel emits the flat fine-bin grid
+        # directly in the conv-native channels-on-sublanes layout — the old
+        # low-bits grouping needed a [V, e*c] -> [bins, c] reshape that XLA
+        # materialized as ~0.5 ms/step of relayouts (round-5 trace). Exact —
+        # the indicator is 0/1 and the kernel accumulates f32 either way.
+        from pvcnn_tpu.ops.pallas.scatter import TILE_V, onehot_scatter_slots
+        cs = -(-c // 8) * 8
         e = 1
-        while (2 * e * c <= 128 and num_bins % (2 * e) == 0
+        while (2 * e * cs <= 128 and num_bins % (2 * e) == 0
                and (num_bins // (2 * e)) % TILE_V == 0
                and pallas_scatter_supported(num_bins // (2 * e), n,
-                                            2 * e * c, mm_dtype)):
+                                            2 * e * cs, mm_dtype)):
             e *= 2
         if e > 1:
-            sub = (idx % e)[..., None]
-            oh = (sub == jnp.arange(e, dtype=idx.dtype)).astype(values.dtype)
-            ve = (oh[..., :, None] * values[..., None, :]).reshape(b, n,
-                                                                   e * c)
-            out = onehot_scatter_add(ve, idx // e, num_bins // e, mm_dtype)
-            return out.reshape(b, num_bins, c)
+            out = onehot_scatter_slots(values, idx, num_bins, e, mm_dtype)
+            return jnp.swapaxes(out[:, :c, :], 1, 2)          # [B, bins, c]
         return onehot_scatter_add(values, idx, num_bins, mm_dtype)
     if (num_bins % 128 == 0 and n % 2 == 0 and n > 4096
             and pallas_scatter_supported(num_bins, n // 2, c, mm_dtype)):
