@@ -250,15 +250,18 @@ def avg_voxelize_sorted(features: jnp.ndarray, norm_coords: jnp.ndarray,
         # gather traced 1.21 ms (round-5 profile) — ~30x off bandwidth —
         # while the same-shape sorted corner gather runs ~0.5 ms.
         cg = -(-c // 8) * 8
-        # small grids only (r3 <= 4096): there XLA's per-row gather is
-        # latency-bound (R=16 C=16 traced 1.21 ms) and the sorted corner
-        # kernel wins; at R=32 the kernel's 8-corner tile walk over 32K bins
-        # costs ~1.7 ms and LOSES to the plain gather (headline A/B
-        # 28.2 -> 31.5 ms with the hybrid forced everywhere, round 5)
+        # small grids (r3 <= 4096) and bf16 compute only: there XLA's
+        # per-row gather is latency-bound (R=16 C=16 traced 1.21 ms) and
+        # the sorted corner kernel wins (headline 28.23 -> 27.74). At R=32
+        # the kernel's 8-corner walk over 32K bins LOSES ~1.7 ms (28.2 ->
+        # 31.5 forced everywhere); at f32 compute the doubled cotangent
+        # bytes flip the R=16 win too (s3dis_pvcnn_1 fp32 A/B 140.5 ->
+        # 146.9 ms with the hybrid on, round 5).
         sorted_bwd = (
             _knobs.get("PVCNN_TPU_AVGVOX_BWD_SORTED") != "0"
             and (interpret or jax.default_backend() == "tpu")
             and r3 % 128 == 0 and r3 <= 4096
+            and (features.dtype == jnp.bfloat16 or interpret)
             and sorted_gather_plan(r3, n, cg, offs[-1], features.dtype, b,
                                    ta) is not None)
         if sorted_bwd:

@@ -36,6 +36,10 @@ def build_model():
         from pvcnn_tpu.models.shapenet import PVCNN
         return PVCNN(num_classes=50, num_shapes=16, extra_feature_channels=3,
                      width_multiplier=1.0, dtype=DTYPE), 6 + 16, 50
+    if MODEL == "s3dis_pvcnn_1":
+        from pvcnn_tpu.models.s3dis import PVCNN
+        return PVCNN(num_classes=13, extra_feature_channels=6,
+                     width_multiplier=1.0, dtype=DTYPE), 9, 13
     if MODEL == "s3dis_pvcnn2_1":
         from pvcnn_tpu.models.s3dis import PVCNN2
         return PVCNN2(num_classes=13, extra_feature_channels=6,
@@ -75,6 +79,7 @@ def main():
             "shapenet_pvcnn_1": {"resolutions": (32, 16),
                                  "normalize": False,
                                  "constant_channels": (6, 22)},
+            "s3dis_pvcnn_1": {"resolutions": (32, 16), "normalize": True},
         }.get(MODEL)
     trainer = Trainer(model, CrossEntropyLoss(), tx, presort=presort)
     rng = np.random.RandomState(0)
