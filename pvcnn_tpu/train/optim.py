@@ -109,21 +109,63 @@ def _scale_by_adam_fused(b1: float = 0.9, b2: float = 0.999,
     return optax.GradientTransformation(init, update)
 
 
+# Auto-dispatch crossover: fused Adam won the 64-leaf ShapeNet headline
+# (-0.27 ms) but LOST the 118-leaf Frustum 3-stage pipeline (+3.1 ms — the
+# flat-vector concat/slice bookkeeping outgrows the per-leaf launch tail it
+# replaces). Both measured same-session on v5e, round 5.
+_FUSED_ADAM_MAX_LEAVES = 96
+
+
+def _dispatching_adam(eps: float, weight_decay: float):
+    """Chooses the fused flat-vector form or the per-leaf optax chain AT
+    INIT TIME from the param tree's leaf count (both produce updates the
+    caller scales by -lr; numerics identical, tests/test_train.py)."""
+    fused_tx = _scale_by_adam_fused(eps=eps, weight_decay=weight_decay)
+    steps = []
+    if weight_decay:
+        steps.append(optax.add_decayed_weights(weight_decay))
+    steps.append(optax.scale_by_adam(eps=eps))
+    steps.append(optax.scale(-1.0))
+    perleaf_tx = optax.chain(*steps)
+
+    def init(params):
+        if len(jax.tree.leaves(params)) <= _FUSED_ADAM_MAX_LEAVES:
+            return fused_tx.init(params)
+        return perleaf_tx.init(params)
+
+    def update(grads, state, params):
+        if isinstance(state, FusedAdamState):
+            u, s = fused_tx.update(grads, state, params)
+            # fused path emits +scaled updates; match per-leaf's scale(-1)
+            return jax.tree.map(lambda x: -x, u), s
+        return perleaf_tx.update(grads, state, params)
+
+    return optax.GradientTransformation(init, update)
+
+
 def Adam(lr: float = 1e-3, weight_decay: float = 0.0, eps: float = 1e-8,
          fused: bool | None = None):
     """torch.optim.Adam equivalent (L2 decay added to grads before the update).
 
-    fused=True (the default, via the PVCNN_TPU_FUSED_ADAM knob) runs the
-    update on one flat vector per dtype — f32-bitwise-equivalent math, far
-    fewer kernel launches (see _scale_by_adam_fused). Pass fused=False for
-    tensor-parallel param trees whose leaves carry different shardings.
+    fused=None (the default, via the PVCNN_TPU_FUSED_ADAM knob) dispatches
+    at init time on the param tree's leaf count: the flat-vector form
+    (f32-bitwise-equivalent math, far fewer kernel launches — see
+    _scale_by_adam_fused) below _FUSED_ADAM_MAX_LEAVES, the per-leaf optax
+    chain above it (the concat/slice bookkeeping loses on very leafy trees,
+    measured on the Frustum pipeline). Pass fused=False to force per-leaf —
+    required for tensor-parallel param trees whose leaves carry different
+    shardings — or fused=True to force the flat form.
     """
     if fused is None:
         from pvcnn_tpu.utils import knobs
-        fused = knobs.get("PVCNN_TPU_FUSED_ADAM") != "0"
+        if knobs.get("PVCNN_TPU_FUSED_ADAM") == "0":
+            fused = False
 
     @optax.inject_hyperparams
     def make(learning_rate):
+        if fused is None:
+            return optax.chain(_dispatching_adam(eps, weight_decay),
+                               optax.scale(learning_rate))
         if fused:
             return optax.chain(
                 _scale_by_adam_fused(eps=eps, weight_decay=weight_decay),

@@ -146,11 +146,14 @@ _ALL = (
        "presort A/B in docs/PERFORMANCE.md"),
     _c("PVCNN_TPU_FUSED_ADAM", "auto", ("auto", "0"),
        "Adam update on one flat vector per parameter dtype instead of "
-       "leaf-by-leaf (~86 sub-ms per-leaf fusions at the headline became a "
-       "handful; f32-bitwise-identical, tests/test_train.py). 0 restores "
-       "the per-leaf optax chain. Trainer(tensor_parallel=True) always "
-       "uses per-leaf (differently-sharded leaves must not concat).",
-       "headline A/B in docs/PERFORMANCE.md round-5 optimizer section"),
+       "leaf-by-leaf (f32-bitwise-identical, tests/test_train.py). auto "
+       "dispatches at init on the param tree's leaf count (<=96 fused: "
+       "won the 64-leaf headline; per-leaf above: the flat bookkeeping "
+       "lost 3.1 ms on the 118-leaf Frustum pipeline). 0 forces per-leaf "
+       "everywhere. Trainer(tensor_parallel=True) always uses per-leaf "
+       "(differently-sharded leaves must not concat).",
+       "headline + frustum A/Bs in docs/PERFORMANCE.md round-5 optimizer "
+       "section"),
     _c("PVCNN_TPU_FP32_CONV_PRECISION", "highest", ("highest",),
        "MXU precision for fp32-input convs in the Pallas flat-rows kernel. "
        "Only 'highest' (6-pass bf16, full f32 semantics) exists: the "

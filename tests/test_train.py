@@ -526,6 +526,42 @@ def test_fused_adam_matches_per_leaf_exactly():
                                               err_msg=f"step {k} leaf {key}")
 
 
+def test_adam_leaf_count_dispatch():
+    """Adam's default (fused=None) picks the flat-vector form at init for
+    small trees and the per-leaf chain above _FUSED_ADAM_MAX_LEAVES (the
+    118-leaf Frustum pipeline measured 3.1 ms SLOWER fused, round 5) —
+    and both dispatch branches produce identical updates."""
+    import jax.numpy as jnp
+    import optax
+
+    from pvcnn_tpu.train.optim import (_FUSED_ADAM_MAX_LEAVES,
+                                       FusedAdamState)
+
+    small = {f"w{i}": jnp.ones((4,)) * (i + 1) for i in range(5)}
+    big = {f"w{i}": jnp.ones((4,)) * (i + 1)
+           for i in range(_FUSED_ADAM_MAX_LEAVES + 1)}
+    tx, _ = Adam(1e-2, weight_decay=1e-2)
+
+    def inner(state):  # peel inject_hyperparams + chain wrappers
+        return jax.tree.leaves(
+            state.inner_state, is_leaf=lambda x: isinstance(
+                x, FusedAdamState))
+
+    s_small = tx.init(small)
+    assert any(isinstance(x, FusedAdamState) for x in inner(s_small))
+    s_big = tx.init(big)
+    assert not any(isinstance(x, FusedAdamState) for x in inner(s_big))
+
+    # dispatch branches agree with the explicit forms bitwise
+    for params, forced in ((small, True), (big, False)):
+        tx_f, _ = Adam(1e-2, weight_decay=1e-2, fused=forced)
+        grads = jax.tree.map(lambda p: p * 0.1, params)
+        ua, sa = tx.update(grads, tx.init(params), params)
+        ub, sb = tx_f.update(grads, tx_f.init(params), params)
+        for a, b in zip(jax.tree.leaves(ua), jax.tree.leaves(ub)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fused_adam_state_checkpoint_roundtrip(tmp_path):
     """FusedAdamState (NamedTuple of tuples) must survive the msgpack
     state-dict roundtrip used by save/load_checkpoint."""
